@@ -1,0 +1,1101 @@
+"""queries()/oracle_sql() registry for the driver contract (SURVEY.md §5.2).
+
+Every SQL-expressible operator family from SURVEY.md §2 gets a (Spark
+DataFrame callable, DuckDB ANSI-SQL twin) pair; the driver compares them at
+sf=0.01 by row count + schema + order-insensitive value hash.
+
+Design rules (learned from the driver compare semantics):
+  * every computed column is aliased IDENTICALLY in both forms;
+  * float aggregates are rounded (sum->2dp, avg/ratio->4dp, cosine->5dp)
+    so accumulation-order ulps can't flip the hash;
+  * timestamps leave as int64 epoch-micros (unix_micros/epoch_us) — exact;
+  * word splitting filters empty tokens on both sides;
+  * top-k always carries a deterministic tie-break key.
+
+Spatial/streaming operators that ANSI SQL can't express are registered
+without an oracle twin (driver records rows-only); their correctness gate
+is the mini-COORDS oracle in tests/ (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# A. aggregations (SURVEY.md §2.5)
+# ===========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                AS avg_qty,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "stats_global_orders",
+    """
+    SELECT COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           COUNT(DISTINCT o_custkey)   AS n_customers
+    FROM orders
+    """,
+)
+def stats_global_orders(spark, sf):
+    return _t(spark, sf, "orders").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@_q(
+    "distinct_parts_per_supplier",
+    """
+    SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def distinct_parts_per_supplier(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items"))
+    )
+
+
+@_q(
+    "rollup_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n,
+           ROUND(SUM(o_totalprice), 2)      AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@_q(
+    "cube_brand_type",
+    """
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(p_type, 'ALL')  AS ptype,
+           COUNT(*)                 AS n,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY CUBE (p_brand, p_type)
+    """,
+)
+def cube_brand_type(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .cube("p_brand", "p_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "n",
+            "avg_price",
+        )
+    )
+
+
+@_q(
+    "grouping_sets_nation_region",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS nname, COALESCE(r_name, 'ALL') AS rname,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    """,
+)
+def grouping_sets_nation_region(spark, sf):
+    _t(spark, sf, "customer").createOrReplaceTempView("gs_customer")
+    _t(spark, sf, "nation").createOrReplaceTempView("gs_nation")
+    _t(spark, sf, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, 'ALL') AS nname, COALESCE(r_name, 'ALL') AS rname,
+               COUNT(*) AS n_customers
+        FROM gs_customer
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        """
+    )
+
+
+@_q(
+    "having_big_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING SUM(o_totalprice) > 1500000
+    """,
+)
+def having_big_customers(spark, sf):
+    # HAVING applies to the raw (unrounded) sum, as in the SQL twin
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("_raw"))
+        .filter(F.col("_raw") > 1500000)
+        .select("o_custkey", "n_orders", F.round("_raw", 2).alias("spend"))
+    )
+
+
+@_q(
+    "bucket_totalprice",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def bucket_totalprice(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# B. joins (SURVEY.md §2.3)
+# ===========================================================================
+
+
+@_q(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+@_q(
+    "q5_region_nation_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_nation_revenue(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        F.broadcast(r)
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "broadcast_region_rollup",
+    """
+    SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_region_rollup(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@_q(
+    "semi_join_active_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_active_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "anti_join_idle_customers",
+    """
+    SELECT n_name, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def anti_join_idle_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "outer_join_priority_fill",
+    """
+    SELECT o_orderpriority, COUNT(l_orderkey) AS n_items,
+           ROUND(SUM(COALESCE(l_quantity, 0)), 2) AS total_qty
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def outer_join_priority_fill(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(F.sum(F.coalesce("l_quantity", F.lit(0))), 2).alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "range_join_error_clicks",
+    """
+    SELECT e.event_id AS error_id, COUNT(*) AS n_clicks
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_clicks(spark, sf):
+    ev = _t(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("u"), F.col("ts").alias("ets")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    return (
+        e.join(
+            c,
+            (F.col("cu") == F.col("u"))
+            & (F.col("cts") > F.col("ets"))
+            & (F.col("cts") <= F.col("ets") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+
+
+@_q(
+    "asof_last_click_before_purchase",
+    """
+    SELECT event_id AS purchase_id, epoch_us(click_ts) AS click_ts_us
+    FROM (
+      SELECT event_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_click_before_purchase(spark, sf):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "click_ts",
+            F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            # parquet timestamps load as TIMESTAMP_NTZ; cast for unix_micros
+            # (session TZ is pinned to UTC so the instant is unchanged)
+            F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        )
+    )
+
+
+@_q(
+    "exists_discounted_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderkey IN
+      (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.10)
+    GROUP BY o_orderstatus
+    """,
+)
+def exists_discounted_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.10)
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# C. windows / sort / top-k (SURVEY.md §2.6)
+# ===========================================================================
+
+
+@_q(
+    "window_top3_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top3_per_customer(spark, sf):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_q(
+    "window_running_user_value",
+    """
+    SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+    FROM events
+    """,
+)
+def window_running_user_value(spark, sf):
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("run_sum", F.round(F.sum("value").over(w), 2))
+        .select("event_id", "run_sum")
+    )
+
+
+@_q(
+    "window_lag_delta",
+    """
+    SELECT event_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark, sf):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf, "events")
+        .withColumn("delta", F.round(F.col("value") - F.lag("value").over(w), 2))
+        .select("event_id", "delta")
+    )
+
+
+@_q(
+    "window_rank_dense_ntile",
+    """
+    SELECT s_suppkey,
+           RANK()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+           DENSE_RANK() OVER (ORDER BY s_nationkey)               AS drnk,
+           NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+    """,
+)
+def window_rank_dense_ntile(spark, sf):
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf, "supplier")
+    w1 = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w2 = Window.orderBy(F.col("s_nationkey"))
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w1).alias("quartile"),
+    )
+
+
+@_q(
+    "topk_global_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def topk_global_lineitems(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+# ===========================================================================
+# D. set operations (SURVEY.md §2.7)
+# ===========================================================================
+
+
+@_q(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "set_except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_except_nations(spark, sf):
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # EXCEPT (set semantics)
+
+
+@_q(
+    "set_except_all_segments",
+    """
+    SELECT c_mktsegment AS seg FROM customer WHERE c_custkey < 200
+    EXCEPT ALL
+    SELECT c_mktsegment FROM customer WHERE c_custkey < 100
+    """,
+)
+def set_except_all_segments(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_custkey") < 200).select(F.col("c_mktsegment").alias("seg"))
+    b = c.filter(F.col("c_custkey") < 100).select(F.col("c_mktsegment").alias("seg"))
+    return a.exceptAll(b)
+
+
+@_q(
+    "union_labels",
+    """
+    SELECT label, COUNT(*) AS n FROM (
+      SELECT c_mktsegment AS label FROM customer
+      UNION ALL
+      SELECT o_orderpriority AS label FROM orders
+    ) GROUP BY label
+    """,
+)
+def union_labels(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_mktsegment").alias("label"))
+    o = _t(spark, sf, "orders").select(F.col("o_orderpriority").alias("label"))
+    return c.unionByName(o).groupBy("label").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# E. scalar functions (SURVEY.md §2.8)
+# ===========================================================================
+
+
+@_q(
+    "string_funcs_parts",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                                  AS brand_u,
+           LENGTH(p_name)                                  AS name_len,
+           SPLIT_PART(p_name, ' ', 1)                      AS word1,
+           SPLIT_PART(p_name, ' ', 2)                      AS word2,
+           CONCAT(p_type, '/', p_brand)                    AS type_brand,
+           SUBSTRING(p_name, 1, 3)                         AS pre3
+    FROM part
+    """,
+)
+def string_funcs_parts(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("word1"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+        F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("type_brand"),
+        F.substring("p_name", 1, 3).alias("pre3"),
+    )
+
+
+@_q(
+    "date_buckets_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_buckets_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@_q(
+    "json_props_stats",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_props_stats(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@_q(
+    "math_funcs_suppliers",
+    """
+    SELECT s_suppkey,
+           ROUND(SQRT(ABS(s_acctbal)), 4)      AS sqrt_bal,
+           ROUND(LN(ABS(s_acctbal) + 1), 4)    AS ln_bal,
+           ROUND(POWER(s_acctbal / 1000, 2), 4) AS pow_bal,
+           CAST(SIGN(s_acctbal) AS INT)        AS sgn
+    FROM supplier
+    """,
+)
+def math_funcs_suppliers(spark, sf):
+    s = _t(spark, sf, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.round(F.sqrt(F.abs("s_acctbal")), 4).alias("sqrt_bal"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 4).alias("ln_bal"),
+        F.round(F.pow(F.col("s_acctbal") / 1000, 2), 4).alias("pow_bal"),
+        F.signum("s_acctbal").cast("int").alias("sgn"),
+    )
+
+
+@_q(
+    "case_when_segments",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           c_mktsegment, COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def case_when_segments(spark, sf):
+    c = _t(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band")
+    )
+    return c.groupBy(band, "c_mktsegment").agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# F. training-data pipeline ops: dedup / text analysis (documents table)
+# ===========================================================================
+
+# shared word-splitter: regex split + drop empties, identical semantics in
+# Spark (split + filter) and DuckDB (regexp_split_to_array + list_filter)
+_WORDS_SPARK = "filter(split(text, '\\\\s+'), x -> x != '')"
+_WORDS_DUCK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+@_q(
+    "dedup_exact_stats",
+    """
+    SELECT COUNT(*)                      AS n_docs,
+           COUNT(DISTINCT md5(lower(text))) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(lower(text))) AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dupes"),
+    )
+
+
+@_q(
+    "dedup_keep_first",
+    """
+    SELECT lang, COUNT(*) AS n_kept, SUM(keep_id) AS id_sum FROM (
+      SELECT lang, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY lang, md5(lower(text))
+    ) GROUP BY lang
+    """,
+)
+def dedup_keep_first(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
+    kept = d.groupBy("lang", "h").agg(F.min("doc_id").alias("keep_id"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("keep_id").alias("id_sum")
+    )
+
+
+@_q(
+    "minhash_band_signature",
+    f"""
+    SELECT doc_id,
+           MIN(CASE WHEN band = 0 THEN h END) AS sig0,
+           MIN(CASE WHEN band = 1 THEN h END) AS sig1,
+           MIN(CASE WHEN band = 2 THEN h END) AS sig2,
+           MIN(CASE WHEN band = 3 THEN h END) AS sig3
+    FROM (
+      SELECT doc_id, band, md5(CAST(band AS VARCHAR) || ':' || sh) AS h
+      FROM (
+        SELECT doc_id, UNNEST(list_transform(
+                 generate_series(1, GREATEST(len(words) - 2, 0)),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents)
+      ), (SELECT UNNEST([0,1,2,3]) AS band)
+    ) GROUP BY doc_id
+    """,
+)
+def minhash_band_signature(spark, sf):
+    """MinHash with 4 bands over 3-word shingles: per band, the signature is
+    the min md5 of 'band:shingle' — the standard banded-LSH construction
+    expressed purely in built-in functions (JVM-side, no UDF)."""
+    d = _t(spark, sf, "documents").selectExpr("doc_id", f"{_WORDS_SPARK} as words")
+    sh = d.selectExpr(
+        "doc_id",
+        "explode(CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words) - 2), "
+        "i -> concat_ws(' ', words[i-1], words[i], words[i+1])) ELSE array() END) as sh",
+    )
+    banded = sh.crossJoin(spark.range(4).select(F.col("id").cast("int").alias("band"))).select(
+        "doc_id", "band", F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh"))).alias("h")
+    )
+    return banded.groupBy("doc_id").agg(
+        F.min(F.when(F.col("band") == 0, F.col("h"))).alias("sig0"),
+        F.min(F.when(F.col("band") == 1, F.col("h"))).alias("sig1"),
+        F.min(F.when(F.col("band") == 2, F.col("h"))).alias("sig2"),
+        F.min(F.when(F.col("band") == 3, F.col("h"))).alias("sig3"),
+    )
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, lang, source, sh FROM (
+        SELECT doc_id, lang, source, UNNEST(list_transform(
+                 generate_series(1, GREATEST(len(words) - 2, 0)),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        FROM (SELECT doc_id, lang, source, {_WORDS_DUCK} AS words FROM documents)
+      )
+    ), sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(COUNT(*) * 1.0 / (sa.nsh + sb.nsh - COUNT(*)), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+     AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.nsh, sb.nsh
+    HAVING COUNT(*) * 1.0 / (sa.nsh + sb.nsh - COUNT(*)) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark, sf):
+    """Near-dup candidates: 3-word-shingle Jaccard within (lang, source)
+    buckets — the bucket key bounds the self-join (at scale this is the
+    LSH-band bucketing pattern; here buckets are natural keys)."""
+    d = _t(spark, sf, "documents").selectExpr(
+        "doc_id", "lang", "source", f"{_WORDS_SPARK} as words"
+    )
+    sh = d.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        "explode(CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words) - 2), "
+        "i -> concat_ws(' ', words[i-1], words[i], words[i+1])) ELSE array() END) as sh",
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "lang", "source", "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l2"), F.col("source").alias("s2"), F.col("sh").alias("sh2"))
+    common = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("l2"))
+            & (F.col("source") == F.col("s2"))
+            & (F.col("sh") == F.col("sh2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ncommon"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_j", F.col("ncommon") / (F.col("na") + F.col("nb") - F.col("ncommon")))
+        .filter(F.col("_j") >= 0.05)
+    )
+    return j.select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
+
+
+@_q(
+    "text_quality_by_source",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(words)), 4) AS avg_words,
+           ROUND(AVG(n_chars * 1.0 / len(words)), 4) AS avg_chars_per_word,
+           ROUND(AVG(len(list_filter(words, w -> w IN ('the','a','of','and','to','in')))
+                     * 1.0 / len(words)), 4) AS stopword_ratio
+    FROM (SELECT source, n_chars, {_WORDS_DUCK} AS words FROM documents)
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark, sf):
+    d = _t(spark, sf, "documents").selectExpr("source", "n_chars", f"{_WORDS_SPARK} as words")
+    return (
+        d.selectExpr(
+            "source",
+            "size(words) as nw",
+            "n_chars",
+            "size(filter(words, w -> w IN ('the','a','of','and','to','in'))) as nstop",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nw"), 4).alias("avg_words"),
+            F.round(F.avg(F.col("n_chars") / F.col("nw")), 4).alias("avg_chars_per_word"),
+            F.round(F.avg(F.col("nstop") / F.col("nw")), 4).alias("stopword_ratio"),
+        )
+    )
+
+
+@_q(
+    "langid_heuristic",
+    f"""
+    SELECT lang, pred, COUNT(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN en >= de AND en >= fr THEN 'en'
+                  WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred
+      FROM (
+        SELECT lang,
+               len(list_filter(words, w -> w IN ('the','and','of','a'))) AS en,
+               len(list_filter(words, w -> w IN ('der','die','das','und'))) AS de,
+               len(list_filter(words, w -> w IN ('le','la','et','les'))) AS fr
+        FROM (SELECT lang, {_WORDS_DUCK} AS words FROM documents)
+      )
+    ) GROUP BY lang, pred
+    """,
+)
+def langid_heuristic(spark, sf):
+    d = _t(spark, sf, "documents").selectExpr("lang", f"{_WORDS_SPARK} as words")
+    scored = d.selectExpr(
+        "lang",
+        "size(filter(words, w -> w IN ('the','and','of','a'))) as en",
+        "size(filter(words, w -> w IN ('der','die','das','und'))) as de",
+        "size(filter(words, w -> w IN ('le','la','et','les'))) as fr",
+    )
+    pred = (
+        F.when((F.col("en") >= F.col("de")) & (F.col("en") >= F.col("fr")), "en")
+        .when(F.col("de") >= F.col("fr"), "de")
+        .otherwise("fr")
+        .alias("pred")
+    )
+    return scored.groupBy("lang", pred).agg(F.count("*").alias("n"))
+
+
+@_q(
+    "token_stats_by_lang",
+    f"""
+    SELECT lang,
+           SUM(len(words))                                    AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-z0-9]+')))    AS alnum_tokens,
+           COUNT(*)                                           AS n_docs
+    FROM (SELECT lang, text, {_WORDS_DUCK} AS words FROM documents)
+    GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf):
+    d = _t(spark, sf, "documents").selectExpr(
+        "lang",
+        f"size({_WORDS_SPARK}) as nw",
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0)) as na",
+    )
+    return d.groupBy("lang").agg(
+        F.sum("nw").alias("ws_tokens"),
+        F.sum("na").alias("alnum_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "doc_fingerprint_distinct",
+    f"""
+    SELECT lang, COUNT(DISTINCT fp) AS n_fp FROM (
+      SELECT lang, md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp
+      FROM (SELECT lang, {_WORDS_DUCK} AS words FROM documents)
+    ) GROUP BY lang
+    """,
+)
+def doc_fingerprint_distinct(spark, sf):
+    d = _t(spark, sf, "documents").selectExpr(
+        "lang",
+        f"md5(concat_ws(' ', array_sort(array_distinct({_WORDS_SPARK})))) as fp",
+    )
+    return d.groupBy("lang").agg(F.countDistinct("fp").alias("n_fp"))
+
+
+# ===========================================================================
+# G. similarity search (embeddings table)
+# ===========================================================================
+
+
+@_q(
+    "knn_cosine_top10",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qe AS DOUBLE[])), 5) AS sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def knn_cosine_top10(spark, sf):
+    """Brute-force cosine top-k in pure higher-order Columns (JVM-side):
+    the baseline path; the LSH-bucketed scale path is operators/similarity."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = "sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return (
+        j.selectExpr("vec_id", f"{dot} / ({na} * {nb}) as _sim")
+        .orderBy(F.col("_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("_sim", 5).alias("sim"))
+    )
+
+
+@_q(
+    "embedding_norms_by_label",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    norm = "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return (
+        e.selectExpr("label", f"{norm} as nrm")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+    )
+
+
+# ===========================================================================
+# H. spatial engine queries (no ANSI-SQL twin -> driver rows-only check;
+#    byte-for-byte gates live in tests/ against the mini-COORDS oracle)
+# ===========================================================================
+
+
+def _points_from_orders(spark, sf):
+    from coords_spark.operators import ingest
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key"), F.xxhash64("o_orderkey").alias("phash")
+    )
+    return ingest.with_anchor(o)
+
+
+@_q("geo_chunk_rollup", None)
+def geo_chunk_rollup(spark, sf):
+    """Flagship: quadtree chunk assignment + per-chunk stats (T2/T4/T5)."""
+    from coords_spark.operators import ingest, tiling
+
+    pts = ingest.with_point_cell(_points_from_orders(spark, sf), tiling.DEFAULT_BASE_LEVEL)
+    pts = pts.withColumn("nbytes", F.lit(128).cast("long"))
+    split = tiling.compute_split_set(pts, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    return (
+        chunked.groupBy("chunk_id")
+        .agg(F.count("*").alias("n_points"), F.min("cell").alias("cell_min"), F.max("cell").alias("cell_max"))
+        .orderBy("chunk_id")
+    )
+

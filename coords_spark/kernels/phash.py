@@ -56,15 +56,30 @@ def blockhash64(img: np.ndarray) -> int:
     return int(np.uint64(val).view(np.int64))
 
 
+def blockhash64_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized blockhash over a stack (N, h, w, 3) with h, w multiples
+    of 8. Bit-identical to blockhash64 per image. Returns int64[N]."""
+    g = np.asarray(imgs, dtype=np.float64).mean(axis=3)
+    n, h, w = g.shape
+    assert h % 8 == 0 and w % 8 == 0, "batch path needs h,w multiples of 8"
+    blocks = g.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).reshape(n, 64)
+    med = np.median(blocks, axis=1, keepdims=True)
+    bits = (blocks > med).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    return packed.view(">u8").astype(np.uint64).reshape(n).view(np.int64).copy()
+
+
 # --- splitmix64 + anchor ----------------------------------------------------
 
 
 def splitmix64(x) -> np.ndarray:
-    """One splitmix64 step (public-domain constant mix), vectorized."""
-    z = np.asarray(x).astype(np.uint64) + _U(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
-    return z ^ (z >> _U(31))
+    """One splitmix64 step (public-domain constant mix), vectorized.
+    uint64 wraparound is the point — silence numpy's overflow warning."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x).astype(np.uint64) + _U(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U(27))) * _U(0x94D049BB133111EB)
+        return z ^ (z >> _U(31))
 
 
 def _unif(x, salt: int) -> np.ndarray:

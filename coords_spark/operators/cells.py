@@ -1,0 +1,129 @@
+"""Vectorized cell-encoding columns (SURVEY.md §2.4 T1/T2/T4).
+
+Each function returns a Column built from an Arrow-batched ``pandas_udf``
+whose body is a pure numpy kernel call — the `input_hint` contract
+("vectorized H3/S2 cell encoding (Arrow-batched, no per-row Python)").
+
+A pure-Column mercator variant (`unit_xy_cols`) exists for cross-checking
+the numpy path in tests and to give Catalyst a fully JVM-side option when
+the extra float tolerance is acceptable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
+
+from coords_spark.kernels import mercator, phash, zcurve
+
+
+def anchor_lat_col(phash_col) -> Column:
+    @F.pandas_udf(IntegerType())
+    def _lat(ph: pd.Series) -> pd.Series:
+        lat, _ = phash.anchor(ph.to_numpy())
+        return pd.Series(lat)
+
+    return _lat(phash_col)
+
+
+def anchor_lon_col(phash_col) -> Column:
+    @F.pandas_udf(IntegerType())
+    def _lon(ph: pd.Series) -> pd.Series:
+        _, lon = phash.anchor(ph.to_numpy())
+        return pd.Series(lon)
+
+    return _lon(phash_col)
+
+
+def point_z_col(lat_col, lon_col) -> Column:
+    """Z code at MAX_LEVEL for a fixed-point lat/lon point."""
+
+    @F.pandas_udf(LongType())
+    def _z(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ux, uy = mercator.latlon_i32_to_unit(lat.to_numpy(), lon.to_numpy())
+        gx, gy = zcurve.unit_to_grid(ux, uy)
+        return pd.Series(zcurve.zencode(gx, gy).astype("int64"))
+
+    return _z(lat_col, lon_col)
+
+
+def cell_col(lat_col, lon_col, level: int) -> Column:
+    """Cell id at a fixed level for a point (T2)."""
+
+    @F.pandas_udf(LongType())
+    def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ux, uy = mercator.latlon_i32_to_unit(lat.to_numpy(), lon.to_numpy())
+        gx, gy = zcurve.unit_to_grid(ux, uy)
+        return pd.Series(zcurve.cell_from_point(gx, gy, level).astype("int64"))
+
+    return _cell(lat_col, lon_col)
+
+
+def cell_of_z_col(z_col, level: int) -> Column:
+    """Cell at `level` from a MAX_LEVEL Z code (cheap re-level without
+    re-projecting)."""
+    shift = 2 * (zcurve.MAX_LEVEL - level)
+    return (
+        F.shiftleft(F.shiftrightunsigned(z_col.cast("long"), shift), zcurve.LEVEL_BITS)
+        .bitwiseOR(F.lit(level))
+        .cast("long")
+    )
+
+
+def ancestor_expr(cell_sql: str, level: int) -> Column:
+    """z_ancestor as a pure SQL expression (JVM-side, codegen-friendly, no
+    UDF). `cell_sql` is a column name or SQL sub-expression; the variable
+    shift amount forces the SQL form (the Python shiftrightunsigned API
+    only takes literal shifts)."""
+    return F.expr(
+        f"cast(shiftleft(shiftrightunsigned(shiftrightunsigned({cell_sql}, {zcurve.LEVEL_BITS}), "
+        f"2 * ((({cell_sql}) & {int(zcurve.LEVEL_MASK)}) - {level})), {zcurve.LEVEL_BITS}) "
+        f"| {level} as long)"
+    )
+
+
+def envelope_cell_col(gx0, gy0, gx1, gy1, max_level: int = zcurve.MAX_LEVEL) -> Column:
+    """Deepest cell fully containing an envelope in grid units (T4)."""
+
+    @F.pandas_udf(LongType())
+    def _env(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(
+            zcurve.deepest_common_cell(
+                a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy(), max_level
+            ).astype("int64")
+        )
+
+    return _env(gx0, gy0, gx1, gy1)
+
+
+def grid_xy_cols(lat_col, lon_col) -> tuple[Column, Column]:
+    """MAX_LEVEL integer grid coords as two columns (for envelope math)."""
+
+    @F.pandas_udf(LongType())
+    def _gx(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ux, uy = mercator.latlon_i32_to_unit(lat.to_numpy(), lon.to_numpy())
+        gx, _ = zcurve.unit_to_grid(ux, uy)
+        return pd.Series(gx)
+
+    @F.pandas_udf(LongType())
+    def _gy(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        ux, uy = mercator.latlon_i32_to_unit(lat.to_numpy(), lon.to_numpy())
+        _, gy = zcurve.unit_to_grid(ux, uy)
+        return pd.Series(gy)
+
+    return _gx(lat_col, lon_col), _gy(lat_col, lon_col)
+
+
+def unit_xy_cols(lat_col, lon_col) -> tuple[Column, Column]:
+    """Pure-Column web-mercator (JVM-side, whole-stage-codegen friendly) —
+    cross-checked against the numpy kernel in tests (SURVEY.md T1)."""
+    lat_deg = lat_col.cast("double") * F.lit(mercator.SCALE)
+    lon_deg = lon_col.cast("double") * F.lit(mercator.SCALE)
+    ux = (lon_deg + F.lit(180.0)) / F.lit(360.0)
+    latc = F.greatest(F.least(lat_deg, F.lit(mercator.MAX_LAT)), F.lit(-mercator.MAX_LAT))
+    s = F.sin(F.radians(latc))
+    uy = F.lit(0.5) - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(4.0 * 3.141592653589793)
+    eps = F.lit(1.0 - 2.220446049250313e-16)
+    return F.least(F.greatest(ux, F.lit(0.0)), eps), F.least(F.greatest(uy, F.lit(0.0)), eps)

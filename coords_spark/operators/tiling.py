@@ -1,0 +1,188 @@
+"""Size-bounded quadtree chunk assignment + chunk-table materialization
+(SURVEY.md §2.4 T4/T5/T6, §3 E3).
+
+COORDS subdivides a tile into 4 children when its serialized contents
+exceed a max byte size, keeping boundary-straddling geometries at the
+internal tile (REF? FileBackedTile::subDivide [M]). We replace the
+insertion-order-dependent reactive splitting with a **deterministic
+two-phase pre-pass** (SURVEY.md §4 "custom work"):
+
+  phase 1 (Spark): subtree byte-size rollup per quadtree node, levels
+    0..base_level — one union-of-groupBys job whose output is filtered to
+    nodes exceeding max_bytes ("split set", small: <= levels x
+    total_bytes/max_bytes entries) and collected;
+  phase 2 (Spark): every row's chunk = its first non-split ancestor,
+    capped at its own deepest-containing-cell level — a vectorized numpy
+    walk inside a pandas UDF with the broadcast split set.
+
+The rule is order-independent, parallelism-independent, and reproduced
+verbatim by the pure-Python oracle (tests/oracle/minicoords.py), which is
+what makes chunk assignments byte-for-byte comparable (BASELINE.json:6).
+
+Skew (T6): materialization range-partitions by (chunk_id, xxhash64(key))
+— the composite range key splits oversized chunks across many partitions
+(urban hotspots) while keeping chunk locality, and AQE skew handling stays
+on as backstop.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from coords_spark.kernels import zcurve
+from coords_spark.operators.cells import ancestor_expr
+from coords_spark.sources.icepick import IcepickTable
+
+DEFAULT_BASE_LEVEL = 12
+DEFAULT_MAX_BYTES = 4 << 20
+
+
+def _level_col(cell) -> F.Column:
+    return cell.bitwiseAND(F.lit(int(zcurve.LEVEL_MASK)))
+
+
+def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> DataFrame:
+    """Per-quadtree-node subtree byte size for levels 0..base_level.
+
+    A row at cell level L contributes to its ancestors at levels 0..min(L,
+    base). Returns (node: long, sub_bytes: long). One shuffle: pre-agg per
+    capped cell, then a 14-way union rolled up in a single groupBy."""
+    capped = df.select(F.col(cell).alias("c"), F.col(nbytes).alias("b")).select(
+        F.when(_level_col(F.col("c")) > base_level, ancestor_expr("c", base_level))
+        .otherwise(F.col("c"))
+        .alias("c"),
+        "b",
+    )
+    per_cell = capped.groupBy("c").agg(F.sum("b").alias("b"))
+    branches = []
+    for l in range(base_level + 1):
+        branches.append(
+            per_cell.filter(_level_col(F.col("c")) >= l).select(
+                ancestor_expr("c", l).alias("node"), F.col("b")
+            )
+        )
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionAll(b)
+    return allb.groupBy("node").agg(F.sum("b").alias("sub_bytes"))
+
+
+def compute_split_set(
+    df: DataFrame,
+    cell: str = "cell",
+    nbytes: str = "nbytes",
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    base_level: int = DEFAULT_BASE_LEVEL,
+) -> np.ndarray:
+    """Collect the (small) set of quadtree nodes whose subtree exceeds
+    max_bytes — the only data that ever reaches the driver."""
+    rows = (
+        subtree_sizes(df, cell, nbytes, base_level)
+        .filter(F.col("sub_bytes") > max_bytes)
+        .select("node")
+        .collect()
+    )
+    return np.sort(np.asarray([r[0] for r in rows], dtype=np.int64))
+
+
+def _isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if sorted_set.size == 0:
+        return np.zeros(values.shape, dtype=bool)
+    idx = np.searchsorted(sorted_set, values)
+    idx = np.clip(idx, 0, sorted_set.size - 1)
+    return sorted_set[idx] == values
+
+
+def assign_chunks_np(cells: np.ndarray, split_set: np.ndarray, base_level: int) -> np.ndarray:
+    """Vectorized chunk assignment: first non-split ancestor, capped at the
+    row's own cell level and at base_level. Shared verbatim with the oracle
+    comparison path (pure numpy, no Spark)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    level = np.minimum(zcurve.cell_level(cells), base_level)
+    chunk = np.empty_like(cells)
+    done = np.zeros(cells.shape, dtype=bool)
+    for l in range(base_level + 1):
+        active = ~done & (level >= l)
+        if not active.any():
+            break
+        anc = zcurve.z_ancestor(cells, np.minimum(level, l))
+        split = _isin_sorted(anc, split_set)
+        assign = active & (~split | (level == l))
+        chunk[assign] = anc[assign]
+        done |= assign
+    return chunk
+
+
+def with_chunk(
+    df: DataFrame,
+    split_set: np.ndarray,
+    cell: str = "cell",
+    base_level: int = DEFAULT_BASE_LEVEL,
+    out: str = "chunk_id",
+) -> DataFrame:
+    split_sorted = np.sort(np.asarray(split_set, dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def _chunk(c: pd.Series) -> pd.Series:
+        return pd.Series(assign_chunks_np(c.to_numpy(), split_sorted, base_level))
+
+    return df.withColumn(out, _chunk(F.col(cell)))
+
+
+# ---------------------------------------------------------------------------
+# chunk-table materialization with per-group resume (S4/S7, BASELINE.json:6)
+# ---------------------------------------------------------------------------
+
+
+def chunk_groups_col(chunk_name: str, group_level: int = 2) -> F.Column:
+    """Resume unit: the chunk's ancestor at `group_level` (chunks shallower
+    than group_level are their own group). Deterministic, range-contiguous."""
+    lv = _level_col(F.col(chunk_name))
+    return F.when(lv <= group_level, F.col(chunk_name)).otherwise(
+        ancestor_expr(chunk_name, group_level)
+    )
+
+
+def materialize_chunk_table(
+    df: DataFrame,
+    table_path: str,
+    key_col: str = "image_id",
+    chunk_col: str = "chunk_id",
+    group_level: int = 2,
+    partitions_per_group: int | None = None,
+    progress_cb=None,
+) -> IcepickTable:
+    """Write df as an icepick chunk table, one atomic commit per chunk
+    group; a re-run skips groups already in the manifest (kill-safe resume
+    with zero reprocessing). Within a group, data is range-partitioned by
+    (chunk_id, xxhash64(key)) — chunk-contiguous files, hotspot chunks
+    spread over multiple partitions (T6) — and sorted by chunk_id so each
+    parquet row-group carries tight chunk min/max stats for pruning."""
+    table = IcepickTable.create(table_path)
+    dfg = df.withColumn("_grp", chunk_groups_col(chunk_col, group_level))
+    groups = sorted(r[0] for r in dfg.select("_grp").distinct().collect())
+    committed = table.committed_groups()
+    spark = df.sparkSession
+    nshuffle = partitions_per_group or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for g in groups:
+        if str(g) in committed:
+            continue
+        staging = os.path.join(table_path, f"_staging-{g}-{uuid.uuid4().hex[:8]}")
+        part = (
+            dfg.filter(F.col("_grp") == g)
+            .drop("_grp")
+            .repartitionByRange(nshuffle, F.col(chunk_col), F.xxhash64(F.col(key_col)))
+            .sortWithinPartitions(chunk_col)
+        )
+        part.write.mode("overwrite").parquet(staging)
+        table.commit_staged(staging, group=g, chunk_col=chunk_col)
+        if progress_cb:
+            progress_cb(g)
+    return table

@@ -1,0 +1,43 @@
+"""SparkSession factory with the engine's recommended configuration.
+
+Scale posture (SURVEY.md §4): AQE on (skew-join + coalesce), Arrow exchange
+on with bounded batches (the image `bytes` column can make rows ~12 KB, so
+batches are capped by records — see input_hint watch-list §7(5)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "coords-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # default: 2x cores for local mode; a real cluster would size this
+        # to cores*2..3 via spark-submit conf
+        try:
+            cores = int(master.split("[")[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            cores = 32
+        shuffle_partitions = max(8, cores * 2)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,192 @@
+"""icepick — a minimal Iceberg-style table format (SURVEY.md §1.2, §2.1).
+
+No pyiceberg / Iceberg jars exist in this environment (SURVEY.md §0), so the
+lineage + resume contract of BASELINE.json:6 ("Every stage checkpoints
+per-partition to Iceberg with lineage (cell range, row count, checksum) so a
+killed job resumes without reprocessing completed chunks") is carried by
+this self-contained layer:
+
+    table_dir/
+      data/<part>.parquet          immutable data files
+      manifests/manifest-%06d.json full snapshot listings (append-only)
+      CURRENT                      name of the live manifest (os.replace swap)
+
+Commit protocol (single-writer, crash-safe):
+  1. data files are finalized under data/ (rename from staging),
+  2. a NEW manifest file is written containing the old file list + the new
+     entries + the newly committed group ids,
+  3. CURRENT is atomically swapped via os.replace.
+A crash before (3) leaves the table at the previous snapshot; orphan data
+files are ignored (only manifest-listed files are readable) — exactly
+Iceberg's semantics.
+
+Per-file lineage: row count, chunk-id min/max (Z-order cell range), sha256
+checksum. Readers prune files by chunk range before Spark ever sees them
+(manifest min/max pruning, the app-level analogue of Iceberg partition
+pruning — SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+_CURRENT = "CURRENT"
+
+
+def _sha256_file(path: str, bufsize: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(bufsize)
+            if not b:
+                break
+            h.update(b)
+    return "sha256:" + h.hexdigest()
+
+
+class IcepickTable:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.data_dir = os.path.join(self.path, "data")
+        self.manifest_dir = os.path.join(self.path, "manifests")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, properties: dict | None = None) -> "IcepickTable":
+        t = cls(path)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        if not os.path.exists(os.path.join(t.path, _CURRENT)):
+            t._write_manifest(
+                {"version": 0, "files": [], "committed_groups": [], "properties": properties or {}}
+            )
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, _CURRENT))
+
+    # -- manifest machinery --------------------------------------------------
+
+    def _write_manifest(self, manifest: dict) -> None:
+        name = f"manifest-{manifest['version']:06d}.json"
+        mpath = os.path.join(self.manifest_dir, name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+
+    def current_manifest(self) -> dict:
+        with open(os.path.join(self.path, _CURRENT)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    # -- commits -------------------------------------------------------------
+
+    def commit_staged(
+        self,
+        staging_dir: str,
+        group: str | int | None = None,
+        chunk_col: str = "chunk_id",
+        extra_stats: dict | None = None,
+    ) -> list[dict]:
+        """Finalize every parquet file under staging_dir into the table as
+        one atomic commit tagged with `group` (the resume unit). Computes
+        per-file lineage: rows, chunk_col min/max (from parquet metadata —
+        no data read), sha256."""
+        staged = sorted(glob.glob(os.path.join(staging_dir, "**", "*.parquet"), recursive=True))
+        entries = []
+        gstr = None if group is None else str(group)
+        for i, src in enumerate(staged):
+            md = pq.read_metadata(src)
+            cmin = cmax = None
+            if chunk_col is not None:
+                idx = {md.schema.column(j).name: j for j in range(len(md.schema))}
+                if chunk_col in idx:
+                    ci = idx[chunk_col]
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    if mins:
+                        cmin, cmax = min(mins), max(maxs)
+            base = f"part-{self._next_file_seq() + i:06d}-{os.path.basename(src)}"
+            dst = os.path.join(self.data_dir, base)
+            shutil.move(src, dst)
+            entries.append(
+                {
+                    "path": os.path.join("data", base),
+                    "rows": md.num_rows,
+                    "chunk_min": cmin,
+                    "chunk_max": cmax,
+                    "checksum": _sha256_file(dst),
+                    "group": gstr,
+                    **(extra_stats or {}),
+                }
+            )
+        man = self.current_manifest()
+        man["version"] += 1
+        man["files"] = man["files"] + entries
+        if gstr is not None and gstr not in man["committed_groups"]:
+            man["committed_groups"] = man["committed_groups"] + [gstr]
+        self._write_manifest(man)
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        return entries
+
+    def mark_group_committed(self, group: str | int) -> None:
+        """Commit an empty group (a resume unit that produced no rows)."""
+        man = self.current_manifest()
+        g = str(group)
+        if g not in man["committed_groups"]:
+            man["version"] += 1
+            man["committed_groups"] = man["committed_groups"] + [g]
+            self._write_manifest(man)
+
+    def _next_file_seq(self) -> int:
+        return len(self.current_manifest()["files"])
+
+    # -- reads ---------------------------------------------------------------
+
+    def committed_groups(self) -> set[str]:
+        return set(self.current_manifest()["committed_groups"])
+
+    def files(self) -> list[dict]:
+        return self.current_manifest()["files"]
+
+    def data_paths(self, chunk_min: int | None = None, chunk_max: int | None = None) -> list[str]:
+        """Absolute data-file paths, pruned by chunk-id range overlap using
+        manifest min/max lineage (planning-time file pruning, S5)."""
+        out = []
+        for e in self.files():
+            if chunk_min is not None and e.get("chunk_max") is not None and e["chunk_max"] < chunk_min:
+                continue
+            if chunk_max is not None and e.get("chunk_min") is not None and e["chunk_min"] > chunk_max:
+                continue
+            out.append(os.path.join(self.path, e["path"]))
+        return out
+
+    def total_rows(self) -> int:
+        return sum(e["rows"] for e in self.files())
+
+    def verify_checksums(self) -> bool:
+        for e in self.files():
+            if _sha256_file(os.path.join(self.path, e["path"])) != e["checksum"]:
+                return False
+        return True
