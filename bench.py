@@ -1,0 +1,148 @@
+"""Headline benchmark (driver contract: prints ONE JSON line).
+
+Measures the north-rule pipeline — chunk-assignment throughput + end-to-end
+wall-time of ingest -> anchor -> cell encode -> split-set rollup -> chunk
+assignment -> icepick materialization — on a deterministic synthetic image
+point table sized to the scale factor (20M rows/sf => 2M at sf0.1), plus a
+basket of driver-surface queries on $SPARK_GRAFT_SF_DIR.
+
+Scaling-efficiency evidence (N vs 4N executors, BASELINE.json:2,14) is
+produced by tools/bench_scaling.py which runs THIS pipeline at local[8] and
+local[32]; results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GEO_QUERIES = True
+SURFACE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_nation_revenue",
+    "window_top3_per_customer",
+    "range_join_error_clicks",
+    "minhash_band_signature",
+    "ngram_jaccard_pairs",
+    "knn_cosine_top10",
+    "dedup_keep_first",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def ensure_points(n_rows: int, cache_root: str, files: int = 32) -> str:
+    """Deterministic synthetic image-point table (fixtures.gen_points),
+    written once as `files` parquet files for full scan parallelism."""
+    import pyarrow.parquet as pq
+
+    from coords_spark.fixtures import gen_points
+
+    path = os.path.join(cache_root, f"points_{n_rows}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (n_rows + files - 1) // files
+    for i in range(files):
+        lo = i * per
+        n = min(per, n_rows - lo)
+        if n <= 0:
+            break
+        pq.write_table(gen_points(n, offset=lo), os.path.join(path, f"part-{i:04d}.parquet"))
+    open(marker, "w").close()
+    return path
+
+
+def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from coords_spark.operators import ingest, tiling
+
+    times: dict[str, float] = {}
+    raw = spark.read.parquet(points_path).select("image_id", "phash")
+    pts = ingest.with_anchor_cell(raw, tiling.DEFAULT_BASE_LEVEL).withColumn(
+        "nbytes", F.lit(4096).cast("long")
+    )
+
+    t0 = time.time()
+    split = tiling.compute_split_set(
+        pts, max_bytes=tiling.DEFAULT_MAX_BYTES, base_level=tiling.DEFAULT_BASE_LEVEL
+    )
+    times["geo_split_rollup"] = time.time() - t0
+
+    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    t0 = time.time()
+    chunked.write.mode("overwrite").format("noop").save()
+    times["geo_chunk_assign"] = time.time() - t0
+
+    out = os.path.join(out_root, "bench_chunks")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    tiling.materialize_chunk_table(chunked, out, group_level=1)
+    times["geo_materialize"] = time.time() - t0
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cache_root = os.path.join(repo, ".bench_cache")
+    os.makedirs(cache_root, exist_ok=True)
+
+    from coords_spark.driver_surface import QUERIES
+    from coords_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="coords-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_rows = max(100_000, int(20_000_000 * sf))
+    points_path = ensure_points(n_rows, cache_root)
+
+    t_start = time.time()
+    queries: dict[str, float] = {}
+    queries.update(run_geo_pipeline(spark, points_path, cache_root))
+    geo_wall = sum(queries.values())
+
+    for name in SURFACE_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        queries[name] = time.time() - t0
+
+    total = time.time() - t_start
+    result = {
+        "metric": "e2e_chunk_pipeline_wall",
+        "value": round(geo_wall, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "geo_rows": n_rows,
+        "geo_rows_per_sec": round(n_rows / geo_wall, 1),
+        "assign_rows_per_sec": round(n_rows / queries["geo_chunk_assign"], 1),
+        "total_wall_sec": round(total, 3),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,22 @@ def anchor_lon_col(phash_col) -> Column:
     return _lon(phash_col)
 
 
+def anchor_cell_struct(phash_col, level: int) -> Column:
+    """Single-pass ingest hot path: phash -> (lat, lon, cell) in ONE Arrow
+    exchange (anchor + mercator + cell encode fused in one numpy kernel
+    chain). Returns struct<lat:int, lon:int, cell:long>."""
+
+    @F.pandas_udf("lat int, lon int, cell long")
+    def _ac(ph: pd.Series) -> pd.DataFrame:
+        lat, lon = phash.anchor(ph.to_numpy())
+        ux, uy = mercator.latlon_i32_to_unit(lat, lon)
+        gx, gy = zcurve.unit_to_grid(ux, uy)
+        cell = zcurve.cell_from_point(gx, gy, level).astype("int64")
+        return pd.DataFrame({"lat": lat, "lon": lon, "cell": cell})
+
+    return _ac(phash_col)
+
+
 def point_z_col(lat_col, lon_col) -> Column:
     """Z code at MAX_LEVEL for a fixed-point lat/lon point."""
 

@@ -31,6 +31,15 @@ def with_point_cell(df: DataFrame, level: int, lat: str = "lat", lon: str = "lon
     return df.withColumn("cell", C.cell_col(F.col(lat), F.col(lon), level))
 
 
+def with_anchor_cell(df: DataFrame, level: int, phash_col: str = "phash") -> DataFrame:
+    """Fused hot path: one Arrow exchange for anchor + mercator + cell
+    (equivalent to with_point_cell(with_anchor(df), level), 3x fewer
+    Python<->JVM roundtrips)."""
+    return df.withColumn("_ac", C.anchor_cell_struct(F.col(phash_col), level)).select(
+        "*", "_ac.lat", "_ac.lon", "_ac.cell"
+    ).drop("_ac")
+
+
 def payload_nbytes_col(df: DataFrame) -> F.Column:
     """Serialized size estimate per row: payload bytes + fixed overhead.
     Columns that may be absent contribute 0 (bench tables carry no bytes)."""
@@ -56,7 +65,7 @@ def ingest_images(
     Two Spark jobs, as in COORDS' tiler (SURVEY.md §3 E3): (a) the size
     rollup producing the split set, (b) assignment + write. Both read the
     same lineage-tracked input once each."""
-    pts = with_point_cell(with_anchor(images), base_level).withColumn(
+    pts = with_anchor_cell(images, base_level).withColumn(
         "nbytes", payload_nbytes_col(images)
     )
     split_set = T.compute_split_set(

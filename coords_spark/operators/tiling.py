@@ -28,6 +28,7 @@ on as backstop.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 import numpy as np
@@ -60,18 +61,21 @@ def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> Dat
         .alias("c"),
         "b",
     )
+    # shuffle 1: partial+final hash agg down to distinct cells (map-side
+    # combine makes this cheap); shuffle 2: explode each cell into its
+    # ancestor chain (<= base_level+1 rows per cell, all JVM-side bit math)
+    # and roll up. The input is scanned exactly once.
     per_cell = capped.groupBy("c").agg(F.sum("b").alias("b"))
-    branches = []
-    for l in range(base_level + 1):
-        branches.append(
-            per_cell.filter(_level_col(F.col("c")) >= l).select(
-                ancestor_expr("c", l).alias("node"), F.col("b")
-            )
-        )
-    allb = branches[0]
-    for b in branches[1:]:
-        allb = allb.unionAll(b)
-    return allb.groupBy("node").agg(F.sum("b").alias("sub_bytes"))
+    anc = (
+        f"transform(sequence(0, cast(c & {int(zcurve.LEVEL_MASK)} as int)), "
+        f"l -> cast(shiftleft(shiftrightunsigned(shiftrightunsigned(c, {zcurve.LEVEL_BITS}), "
+        f"2 * (cast(c & {int(zcurve.LEVEL_MASK)} as int) - l)), {zcurve.LEVEL_BITS}) | l as long))"
+    )
+    return (
+        per_cell.select(F.explode(F.expr(anc)).alias("node"), "b")
+        .groupBy("node")
+        .agg(F.sum("b").alias("sub_bytes"))
+    )
 
 
 def compute_split_set(
@@ -167,22 +171,33 @@ def materialize_chunk_table(
     parquet row-group carries tight chunk min/max stats for pruning."""
     table = IcepickTable.create(table_path)
     dfg = df.withColumn("_grp", chunk_groups_col(chunk_col, group_level))
-    groups = sorted(r[0] for r in dfg.select("_grp").distinct().collect())
     committed = table.committed_groups()
+    if committed:
+        # resume: committed chunk groups are filtered out BEFORE the shuffle
+        # — their rows are never repartitioned or rewritten
+        dfg = dfg.filter(~F.col("_grp").cast("string").isin(*sorted(committed)))
     spark = df.sparkSession
     nshuffle = partitions_per_group or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    for g in groups:
-        if str(g) in committed:
-            continue
-        staging = os.path.join(table_path, f"_staging-{g}-{uuid.uuid4().hex[:8]}")
-        part = (
-            dfg.filter(F.col("_grp") == g)
-            .drop("_grp")
-            .repartitionByRange(nshuffle, F.col(chunk_col), F.xxhash64(F.col(key_col)))
-            .sortWithinPartitions(chunk_col)
-        )
-        part.write.mode("overwrite").parquet(staging)
-        table.commit_staged(staging, group=g, chunk_col=chunk_col)
-        if progress_cb:
-            progress_cb(g)
+    staging_root = os.path.join(table_path, f"_staging-{uuid.uuid4().hex[:8]}")
+    # ONE data pass: range-partition by (chunk, xxhash64(key)) — hotspot
+    # chunks spread across partitions (T6) while staying chunk-contiguous —
+    # then fan out per-group directories for atomic per-group commits.
+    (
+        dfg.repartitionByRange(nshuffle, F.col(chunk_col), F.xxhash64(F.col(key_col)))
+        .sortWithinPartitions(chunk_col)
+        .write.mode("overwrite")
+        .partitionBy("_grp")
+        .parquet(staging_root)
+    )
+    group_dirs = sorted(
+        d for d in os.listdir(staging_root) if d.startswith("_grp=")
+    )
+    try:
+        for d in group_dirs:
+            g = d.split("=", 1)[1]
+            table.commit_staged(os.path.join(staging_root, d), group=g, chunk_col=chunk_col)
+            if progress_cb:
+                progress_cb(g)
+    finally:
+        shutil.rmtree(staging_root, ignore_errors=True)
     return table
