@@ -107,6 +107,103 @@ def chunk_points(
     return {key: assign_chunk(c, splits, base_level) for key, c, nb in cells}
 
 
+# --- geometry placement (T3/T4 for extended geometries) ---------------------
+
+
+def way_envelope_cell(pts: list[tuple[int, int]], max_level: int = MAX_LEVEL) -> int:
+    """pts: [(lat, lon)] -> deepest cell containing the envelope. The y axis
+    flips: max lat -> min gy."""
+    lats = [p[0] for p in pts]
+    lons = [p[1] for p in pts]
+    gx0, gy0 = grid_xy(max(lats), min(lons))  # NW
+    gx1, gy1 = grid_xy(min(lats), max(lons))  # SE
+    return deepest_containing_cell(gx0, gy0, gx1, gy1, max_level)
+
+
+# --- multipolygon assembly (T8) ----------------------------------------------
+
+
+def _pip_scalar(py: float, px: float, ring: list[tuple[int, int]]) -> bool:
+    """Even-odd crossing test, (lat, lon) ring, point (py=lat, px=lon)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        y1, x1 = ring[i]
+        y2, x2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def oracle_assemble_rings(arcs: list[list[tuple[int, int]]]) -> list[list[tuple[int, int]]]:
+    """Independent scalar ring stitcher: same deterministic rules as the
+    engine kernel (seed = smallest unused arc index; smallest-index
+    continuation; stuck chains discarded)."""
+    used = [False] * len(arcs)
+    rings = []
+    for seed in range(len(arcs)):
+        if used[seed] or len(arcs[seed]) < 2:
+            continue
+        used[seed] = True
+        chain = list(map(tuple, arcs[seed]))
+        while chain[-1] != chain[0]:
+            found = -1
+            rev = False
+            for j in range(len(arcs)):
+                if used[j] or len(arcs[j]) < 2:
+                    continue
+                if tuple(arcs[j][0]) == chain[-1]:
+                    found, rev = j, False
+                    break
+                if tuple(arcs[j][-1]) == chain[-1]:
+                    found, rev = j, True
+                    break
+            if found < 0:
+                chain = None
+                break
+            used[found] = True
+            seg = list(map(tuple, arcs[found]))
+            if rev:
+                seg.reverse()
+            chain.extend(seg[1:])
+        if chain is None:
+            continue
+        if chain[-1] == chain[0]:
+            chain = chain[:-1]
+        if len(chain) >= 3:
+            rings.append(chain)
+    return rings
+
+
+def oracle_build_polygons(arcs):
+    rings = oracle_assemble_rings(arcs)
+    depths = []
+    for i, r in enumerate(rings):
+        d = 0
+        for j, other in enumerate(rings):
+            if i != j and _pip_scalar(r[0][0], r[0][1], other):
+                d += 1
+        depths.append(d)
+    polys = []
+    omap = {}
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 0:
+            omap[i] = len(polys)
+            polys.append((r, []))
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 1:
+            best, best_d = -1, -1
+            for j in omap:
+                if depths[j] == depths[i] - 1 and _pip_scalar(r[0][0], r[0][1], rings[j]):
+                    if depths[j] > best_d:
+                        best, best_d = j, depths[j]
+            if best >= 0:
+                polys[omap[best]][1].append(r)
+    return polys
+
+
 # --- way resolution (J1) ----------------------------------------------------
 
 
