@@ -1084,6 +1084,117 @@ def _points_from_orders(spark, sf):
     return ingest.with_anchor(o)
 
 
+@_q("geo_pip_enrich", None)
+def geo_pip_enrich(spark, sf):
+    """Ray-cast PIP join (J4): order-derived image points vs the synthetic
+    admin polygons (FIXTURES.md §3) — counts per polygon."""
+    from coords_spark.fixtures import gen_admin_polygons
+    from coords_spark.kernels import zcurve
+    from coords_spark.operators import ingest, pip_join
+
+    pts = ingest.with_anchor_cell(
+        _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("string").alias("image_id"),
+            F.xxhash64("o_orderkey").alias("phash"),
+        ),
+        zcurve.MAX_LEVEL,
+    )
+    polys = spark.createDataFrame(gen_admin_polygons(50).to_pandas())
+    pairs = pip_join.pip_enrich(pts, polys)
+    return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points")).orderBy("poly_id")
+
+
+@_q("geo_knn_ring", None)
+def geo_knn_ring(spark, sf):
+    """Cell-ring-expansion kNN (J5): 3 hotspot queries + 1 sparse query
+    against order-derived points."""
+    from coords_spark.kernels import zcurve
+    from coords_spark.kernels.phash import HOTSPOTS
+    from coords_spark.operators import ingest, knn
+
+    pts = ingest.with_anchor_cell(
+        _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("string").alias("image_id"),
+            F.xxhash64("o_orderkey").alias("phash"),
+        ),
+        zcurve.MAX_LEVEL,
+    )
+    queries = [
+        (f"q{i}", int(la * 1e7), int(lo * 1e7)) for i, (la, lo) in enumerate(HOTSPOTS[:3])
+    ] + [("q_sparse", int(-55.0 * 1e7), int(100.0 * 1e7))]
+    return knn.knn_join(pts, queries, k=10, level=10).orderBy("qid", "rank")
+
+
+@_q("geo_raster_vector_align", None)
+def geo_raster_vector_align(spark, sf):
+    """Raster-tile <-> vector-chunk alignment (J6) between chunk sets built
+    from orders (raster side) and lineitem suppliers (vector side)."""
+    from coords_spark.operators import align, ingest, tiling
+
+    def chunks_of(df, key, max_bytes):
+        pts = ingest.with_anchor_cell(df, tiling.DEFAULT_BASE_LEVEL).withColumn(
+            "nbytes", F.lit(256).cast("long")
+        )
+        split = tiling.compute_split_set(pts, max_bytes=max_bytes, base_level=tiling.DEFAULT_BASE_LEVEL)
+        return tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+
+    raster = chunks_of(
+        _t(spark, sf, "orders").select(F.xxhash64("o_orderkey").alias("phash"), F.col("o_orderkey").cast("string").alias("image_id")),
+        "image_id",
+        16 * 1024,
+    )
+    vector = chunks_of(
+        _t(spark, sf, "supplier").select(F.xxhash64("s_suppkey").alias("phash"), F.col("s_suppkey").cast("string").alias("image_id")),
+        "image_id",
+        64 * 1024,
+    )
+    return align.align_chunks(raster, vector).orderBy("v_chunk", "r_chunk")
+
+
+@_q("dedup_minhash_lsh_pairs", None)
+def dedup_minhash_lsh_pairs(spark, sf):
+    """xxhash64 banded MinHash-LSH candidates + exact Jaccard verify
+    (engine-native variant of the md5 SQL twin; rows-only check)."""
+    from coords_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cand = dedup.minhash_lsh_candidates(d, n_bands=8, rows_per_band=2)
+    return dedup.jaccard_verify(d, cand, threshold=0.3).orderBy("doc_a", "doc_b")
+
+
+@_q("dedup_simhash_pairs", None)
+def dedup_simhash_pairs(spark, sf):
+    from coords_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup.simhash_near_dups(d, max_hamming=8).orderBy("doc_a", "doc_b")
+
+
+@_q("embedding_ann_topk", None)
+def embedding_ann_topk(spark, sf):
+    """LSH-bucketed approximate top-k (scale path; brute-force twin is the
+    knn_cosine_top10 SQL-checked query)."""
+    from coords_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_topk(e, qv, 10, n_planes=8, probe_hamming=2).select(
+        "vec_id", F.round("cosine", 5).alias("sim")
+    )
+
+
+@_q("text_quality_scored", None)
+def text_quality_scored(spark, sf):
+    from coords_spark.operators import text as T
+
+    d = T.with_quality(_t(spark, sf, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
 @_q("geo_chunk_rollup", None)
 def geo_chunk_rollup(spark, sf):
     """Flagship: quadtree chunk assignment + per-chunk stats (T2/T4/T5)."""

@@ -40,9 +40,15 @@ def procedural_image(image_id: str, w: int, h: int) -> np.ndarray:
 
 def blockhash64(img: np.ndarray) -> int:
     """64-bit blockhash: mean-pool grayscale to 8x8, threshold at the median,
-    pack row-major (bit 63 = block (0,0)). Returns signed int64."""
-    g = np.asarray(img, dtype=np.float64).mean(axis=2)
-    h, w = g.shape
+    pack row-major (bit 63 = block (0,0)). Returns signed int64.
+
+    For h, w multiples of 8 this MUST stay bit-identical to
+    blockhash64_batch (same float summation order), so it delegates."""
+    img = np.asarray(img)
+    h, w = img.shape[0], img.shape[1]
+    if h % 8 == 0 and w % 8 == 0:
+        return int(blockhash64_batch(img[None, ...])[0])
+    g = img.astype(np.float64).mean(axis=2)
     by = (np.arange(h) * 8) // h
     bx = (np.arange(w) * 8) // w
     idx = (by[:, None] * 8 + bx[None, :]).ravel()

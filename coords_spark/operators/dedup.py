@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines (task brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Everything scale-shaped: candidate generation is always a shuffle on a
+SMALL derived key (hash / band / bucket), never a cross join; verification
+is confined to candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from coords_spark.kernels.phash import splitmix64
+
+_WORDS = "filter(split({c}, '\\\\s+'), x -> x != '')"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest key per normalized-text hash (deterministic
+    survivor). Pure built-ins: md5 + min-by groupBy."""
+    h = F.md5(F.lower(F.col(text_col)))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(key, shingle) pairs: distinct n-word shingles per doc, built with
+    higher-order functions (JVM-side)."""
+    words = _WORDS.format(c=text_col)
+    parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
+    return (
+        df.selectExpr("*", f"{words} as words")
+        .selectExpr(
+            "doc_id",
+            f"explode(CASE WHEN size(words) >= {n} THEN transform(sequence(0, size(words) - {n}), "
+            f"i -> concat_ws(' ', {parts})) ELSE array() END) as shingle",
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, n_bands: int = 8, rows_per_band: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup candidates: signature = min(xxhash64(
+    seed_i || shingle)) per hash i; docs sharing a band (concatenated
+    rows_per_band minima) become a candidate pair. One shuffle per stage,
+    pairs generated per-bucket (self-join on band value)."""
+    sh = shingles(df, text_col)
+    n_hashes = n_bands * rows_per_band
+    # one row per (doc, hash_i): min over shingles of xxhash64(i, shingle)
+    mins = (
+        sh.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_hashes - 1}), i -> "
+                    f"struct(i as hi, xxhash64(cast(i as string), shingle) as hv))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", F.col("s.hi").alias("hi"))
+        .agg(F.min("s.hv").alias("mh"))
+    )
+    bands = mins.withColumn("band", (F.col("hi") / rows_per_band).cast("int")).groupBy(
+        "doc_id", "band"
+    ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("mh").cast("string")))).alias("sig"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame, threshold: float, text_col: str = "text") -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (verification stage)."""
+    sh = shingles(df, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
+    common = (
+        candidates.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ncommon"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("ncommon") / (F.col("na") + F.col("nb") - F.col("ncommon")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64_col(text_col) -> F.Column:
+    """SimHash-64 over whitespace tokens: weighted bit-vote of per-token
+    splitmix64 hashes — vectorized numpy inside an Arrow UDF (the bit-vote
+    matrix math has no built-in equivalent)."""
+
+    import zlib
+
+    @F.pandas_udf(LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                out[i] = 0
+                continue
+            # stable token hash (crc32 seed -> splitmix64); NEVER python
+            # hash() — it is salted per process and would break determinism
+            hs = splitmix64(
+                np.asarray([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for clear
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = int(np.uint64(sim).view(np.int64))
+        return pd.Series(out)
+
+    return _sh(text_col)
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """SimHash near-dup candidates via 4x16-bit block LSH (two fingerprints
+    within hamming distance 3 share at least one of 4 blocks), verified by
+    exact popcount on the pair."""
+    d = df.select("doc_id", simhash64_col(F.col(text_col)).alias("sh"))
+    blocks = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b as blk, "
+                "(shiftrightunsigned(sh, b * 16) & 65535) as bv))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "sh", F.col("s.blk").alias("blk"), F.col("s.bv").alias("bv"))
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "blk", "bv")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "blk", "bv")
+    return (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket join +
+    exact cosine verification on bucket-collision pairs only."""
+    from coords_spark.operators.similarity import lsh_bucket_col, cosine_expr
+
+    d = df.select(key, vec).withColumn("bucket", lsh_bucket_col(F.col(vec), n_planes, seed))
+    a = d.select(F.col(key).alias("id_a"), F.col(vec).alias("va"), "bucket")
+    b = d.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (task brief: brute-force cosine
+top-k baseline + LSH-bucketed scale path).
+
+Brute force stays fully JVM-side (higher-order functions — zip_with /
+aggregate), so Catalyst pipelines it with the scan; the LSH path derives a
+small integer bucket per vector (random-hyperplane signs, numpy Arrow UDF)
+so candidate generation is an equi-join, then re-ranks candidates exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)}) / (({norm_expr(a)}) * ({norm_expr(b)}))"
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector (broadcast literal)."""
+    q = ", ".join(f"CAST({float(x)} AS FLOAT)" for x in query_vec)
+    d = vectors.selectExpr(key, f"{cosine_expr(vec, f'array({q})')} as cosine")
+    return d.orderBy(F.col("cosine").desc(), F.col(key)).limit(k)
+
+
+def knn_topk_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    qkey: str = "qid",
+    qvec: str = "qe",
+) -> DataFrame:
+    """Exact top-k for a (small, broadcast) query SET: one broadcast
+    nested-loop join + per-query window top-k."""
+    j = vectors.crossJoin(F.broadcast(queries.select(qkey, qvec)))
+    scored = j.selectExpr(qkey, key, f"{cosine_expr(vec, qvec)} as cosine")
+    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes: splitmix64-seeded uniform grid, no
+    RNG state (same matrix on every executor)."""
+    from coords_spark.kernels.phash import splitmix64
+
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u.reshape(n_planes, dim) * 2.0 - 1.0)
+
+
+def lsh_bucket_col(vec_col, n_planes: int = 12, seed: int = 7, dim: int | None = None):
+    """Random-hyperplane signature -> int bucket (Arrow-batched matmul)."""
+
+    @F.pandas_udf(IntegerType())
+    def _b(vs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        planes = _planes(mat.shape[1], n_planes, seed)
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _b(vec_col)
+
+
+def ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    probe_hamming: int = 1,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within `probe_hamming` bit flips (multi-probe), exact-rank candidates.
+    Recall grows with probe_hamming; probe count = sum_{i<=h} C(n_planes,i)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = _planes(len(qv), n_planes, seed)
+    qsig = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_planes)))
+    probes = {qsig}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    d = vectors.withColumn("bucket", lsh_bucket_col(F.col(vec), n_planes, seed))
+    cand = d.filter(F.col("bucket").isin(*[int(p) for p in probes]))
+    q = ", ".join(f"CAST({float(x)} AS FLOAT)" for x in query_vec)
+    scored = cand.selectExpr(key, f"{cosine_expr(vec, f'array({q})')} as cosine")
+    return scored.orderBy(F.col("cosine").desc(), F.col(key)).limit(k)

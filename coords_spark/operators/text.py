@@ -1,0 +1,102 @@
+"""Text analysis operators for training-data pipelines (task brief:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting). All pure built-in Columns (JVM, codegen) except the
+rolling hash, which is a vectorized Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_WORDS = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "a", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "de", "que"),
+}
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(words, w -> w IN ({words})))"
+
+
+def with_lang_scores(docs: DataFrame) -> DataFrame:
+    """Per-language stopword hit counts + argmax prediction (deterministic
+    tie-break: en > de > fr > es)."""
+    d = docs.selectExpr("*", f"{_WORDS} as words")
+    for lang in STOPWORDS:
+        d = d.selectExpr("*", f"{_hits(lang)} as hits_{lang}")
+    pred = F.expr(
+        "CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en' "
+        "WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
+        "WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END"
+    )
+    return d.withColumn("lang_pred", pred).drop("words")
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Quality features: word count, mean word length, alpha ratio,
+    punctuation ratio, stopword ratio, plus a composite keep-score."""
+    d = docs.selectExpr(
+        "*",
+        f"size({_WORDS}) as n_words",
+        f"aggregate({_WORDS}, 0L, (a, w) -> a + length(w)) as sum_word_len",
+        "length(text) as n_chars_raw",
+        "length(regexp_replace(text, '[^a-zA-Z]', '')) as n_alpha",
+        "length(regexp_replace(text, '[^.,;:!?]', '')) as n_punct",
+        f"size(filter({_WORDS}, w -> w IN ('the','a','of','and','to','in'))) as n_stop",
+    )
+    d = (
+        d.withColumn("avg_word_len", F.col("sum_word_len") / F.greatest(F.col("n_words"), F.lit(1)))
+        .withColumn("alpha_ratio", F.col("n_alpha") / F.greatest(F.col("n_chars_raw"), F.lit(1)))
+        .withColumn("punct_ratio", F.col("n_punct") / F.greatest(F.col("n_chars_raw"), F.lit(1)))
+        .withColumn("stopword_ratio", F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1)))
+    )
+    score = (
+        F.when((F.col("n_words") >= 10) & (F.col("avg_word_len").between(2, 12)), 1.0).otherwise(0.0)
+        * (F.lit(0.5) + F.col("alpha_ratio") / 2)
+    )
+    return d.withColumn("quality_score", F.round(score, 4)).drop("sum_word_len", "n_chars_raw")
+
+
+def with_token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (regex split on
+    non-alphanumerics and 4-char chunks)."""
+    return docs.selectExpr(
+        "*",
+        f"size({_WORDS}) as ws_tokens",
+        "size(regexp_extract_all(text, '[a-z0-9]+', 0)) as alnum_tokens",
+        # BPE-ish proxy: ceil(len/4) per alnum run, summed
+        "aggregate(regexp_extract_all(text, '[a-z0-9]+', 0), 0L, "
+        "(a, t) -> a + CAST(ceil(length(t) / 4.0) AS LONG)) as bpe_tokens_est",
+    )
+
+
+def rolling_fingerprint_col(text_col, window: int = 8) -> F.Column:
+    """Winnowing-style document fingerprint: min of rolling polynomial
+    hashes over byte windows — robust to small appends, vectorized numpy."""
+
+    @F.pandas_udf(LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        B = np.uint64(1000003)
+        for i, t in enumerate(texts):
+            data = np.frombuffer((t or "").lower().encode(), dtype=np.uint8).astype(np.uint64)
+            if len(data) < window:
+                out[i] = int(data.sum())
+                continue
+            with np.errstate(over="ignore"):
+                h = np.zeros(len(data) - window + 1, dtype=np.uint64)
+                for j in range(window):
+                    h = h * B + data[j : len(data) - window + 1 + j]
+            out[i] = int(np.uint64(h.min()).view(np.int64))
+        return pd.Series(out)
+
+    return _fp(text_col)

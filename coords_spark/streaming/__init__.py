@@ -1,0 +1,12 @@
+"""Structured Streaming facade (SURVEY.md §2.9): COORDS is strictly batch;
+the driver testdata ships an `events` stream table, so the engine exposes
+windowed/session/watermark/dedup streaming transforms over events-shaped
+streams. Batch checkpoint-resume is icepick's job, not streaming state."""
+
+from coords_spark.streaming.events import (  # noqa: F401
+    session_window_stats,
+    sliding_window_counts,
+    stream_events_from_dir,
+    tumbling_window_counts,
+    watermark_dedup,
+)
