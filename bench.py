@@ -69,6 +69,30 @@ def ensure_points(n_rows: int, cache_root: str, files: int = 32) -> str:
     return path
 
 
+def ensure_images(n_rows: int, cache_root: str, files: int = 32) -> str:
+    """Deterministic image+caption table WITH payload bytes (the
+    input_hint shape) for the payload/decode benches. Cached."""
+    import pyarrow.parquet as pq
+
+    from coords_spark.fixtures import gen_images
+
+    path = os.path.join(cache_root, f"images_{n_rows}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (n_rows + files - 1) // files
+    for i in range(files):
+        lo = i * per
+        n = min(per, n_rows - lo)
+        if n <= 0:
+            break
+        pq.write_table(gen_images(n, offset=lo), os.path.join(path, f"part-{i:04d}.parquet"))
+    open(marker, "w").close()
+    return path
+
+
 def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -86,7 +110,7 @@ def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]
     )
     times["geo_split_rollup"] = time.time() - t0
 
-    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = ingest.with_anchor_cell_chunk(raw, split, tiling.DEFAULT_BASE_LEVEL)
     t0 = time.time()
     chunked.write.mode("overwrite").format("noop").save()
     times["geo_chunk_assign"] = time.time() - t0
@@ -116,10 +140,28 @@ def main() -> None:
     n_rows = max(100_000, int(20_000_000 * sf))
     points_path = ensure_points(n_rows, cache_root)
 
+    n_imgs = max(10_000, int(2_000_000 * sf))
+    images_path = ensure_images(n_imgs, cache_root)
+
     t_start = time.time()
     queries: dict[str, float] = {}
     queries.update(run_geo_pipeline(spark, points_path, cache_root))
     geo_wall = sum(queries.values())
+
+    # payload decode+hash verification (CPU-dominant ingest stage)
+    from pyspark.sql import functions as F
+
+    from coords_spark.operators import images as IMG
+
+    imgs = spark.read.parquet(images_path)
+    t0 = time.time()
+    n_bad = (
+        IMG.with_decode_check(imgs)
+        .filter(~F.col("decode_ok"))
+        .count()
+    )
+    queries["payload_decode_check"] = time.time() - t0
+    assert n_bad == 0, f"{n_bad} payload verification failures"
 
     for name in SURFACE_QUERIES:
         fn = QUERIES[name]
@@ -137,6 +179,8 @@ def main() -> None:
         "geo_rows": n_rows,
         "geo_rows_per_sec": round(n_rows / geo_wall, 1),
         "assign_rows_per_sec": round(n_rows / queries["geo_chunk_assign"], 1),
+        "payload_rows": n_imgs,
+        "decode_rows_per_sec": round(n_imgs / queries["payload_decode_check"], 1),
         "total_wall_sec": round(total, 3),
         "cpus": int(cpus),
     }

@@ -53,6 +53,29 @@ def anchor_cell_struct(phash_col, level: int) -> Column:
     return _ac(phash_col)
 
 
+def anchor_cell_chunk_struct(phash_col, split_sorted, base_level: int) -> Column:
+    """Fully fused assignment hot path: phash -> (lat, lon, cell, chunk_id)
+    in ONE Arrow exchange (anchor + mercator + cell + first-non-split-
+    ancestor walk). Used once the split set is known — halves the Python
+    stages of the materialization job."""
+    import numpy as np
+
+    from coords_spark.operators.tiling import assign_chunks_np
+
+    split_sorted = np.sort(np.asarray(split_sorted, dtype="int64"))
+
+    @F.pandas_udf("lat int, lon int, cell long, chunk_id long")
+    def _acc(ph: pd.Series) -> pd.DataFrame:
+        lat, lon = phash.anchor(ph.to_numpy())
+        ux, uy = mercator.latlon_i32_to_unit(lat, lon)
+        gx, gy = zcurve.unit_to_grid(ux, uy)
+        cell = zcurve.cell_from_point(gx, gy, base_level).astype("int64")
+        chunk = assign_chunks_np(cell, split_sorted, base_level)
+        return pd.DataFrame({"lat": lat, "lon": lon, "cell": cell, "chunk_id": chunk})
+
+    return _acc(phash_col)
+
+
 def point_z_col(lat_col, lon_col) -> Column:
     """Z code at MAX_LEVEL for a fixed-point lat/lon point."""
 

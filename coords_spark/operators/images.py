@@ -15,8 +15,6 @@ codec raises NotImplementedError.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,68 +50,107 @@ def with_payload_verification(images: DataFrame, psnr_floor: float = 40.0) -> Da
     phash must equal the recomputed one (BASELINE.json:15)."""
 
     # never .add() onto df.schema — it mutates the DataFrame's cached schema
-    schema = _extended_schema(
-        images, [("psnr", "double"), ("phash_rec", "long"), ("payload_ok", "boolean")]
-    )
+    @F.pandas_udf("psnr double, phash_rec long, payload_ok boolean")
+    def _verify(
+        iid: pd.Series, b: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series, ph: pd.Series
+    ) -> pd.DataFrame:
+        n = len(b)
+        psnrs = np.empty(n, dtype=np.float64)
+        hashes = np.empty(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
+            except NotImplementedError:
+                psnrs[i], hashes[i] = float("nan"), 0
+                continue
+            ref = phash.procedural_image(iid.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
+            psnrs[i] = codec.psnr(ref, img)
+            hashes[i] = phash.blockhash64(img if codec.is_lossless(fmt.iloc[i]) else ref)
+            ok[i] = psnrs[i] >= psnr_floor and hashes[i] == int(ph.iloc[i])
+        return pd.DataFrame(
+            {
+                "psnr": np.where(np.isinf(psnrs), 999.0, psnrs),
+                "phash_rec": hashes,
+                "payload_ok": ok,
+            }
+        )
 
-    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            psnrs = np.empty(len(pdf), dtype=np.float64)
-            hashes = np.empty(len(pdf), dtype=np.int64)
-            ok = np.zeros(len(pdf), dtype=bool)
-            for i, (b, fmt, w, h) in enumerate(
-                zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"])
-            ):
-                try:
-                    img = _decode(bytes(b), fmt, int(w), int(h))
-                except NotImplementedError:
-                    psnrs[i], hashes[i], ok[i] = float("nan"), 0, False
-                    continue
-                ref = phash.procedural_image(pdf["image_id"].iloc[i], int(w), int(h))
-                psnrs[i] = codec.psnr(ref, img)
-                hashes[i] = phash.blockhash64(img if codec.is_lossless(fmt) else ref)
-                ok[i] = (
-                    psnrs[i] >= psnr_floor
-                    and hashes[i] == int(pdf["phash"].iloc[i])
-                )
-            out = pdf.copy()
-            out["psnr"] = np.where(np.isinf(psnrs), 999.0, psnrs)
-            out["phash_rec"] = hashes
-            out["payload_ok"] = ok
-            yield out
+    return images.withColumn(
+        "_pv",
+        _verify(
+            F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), F.col("phash")
+        ),
+    ).select("*", "_pv.psnr", "_pv.phash_rec", "_pv.payload_ok").drop("_pv")
 
-    return images.mapInPandas(_verify, schema)
+
+def with_decode_check(images: DataFrame, max_hamming_lossy: int = 8) -> DataFrame:
+    """Production-shaped payload check (no fixture reference needed):
+    decode every payload, recompute the blockhash, compare against the
+    stored phash — exact for lossless formats, hamming-bounded for lossy.
+    This is the CPU-dominant stage of the ingest pipeline (codec + hash).
+
+    Scalar pandas UDF, NOT mapInPandas: only the argument columns cross
+    the JVM->Python boundary and only the small result struct comes back —
+    the payload bytes are never serialized back out (2x less Arrow traffic
+    on a payload-dominated table)."""
+
+    @F.pandas_udf("phash_rec long, decode_ok boolean")
+    def _check(
+        b: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series, ph: pd.Series
+    ) -> pd.DataFrame:
+        n = len(b)
+        hashes = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            try:
+                img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
+            except NotImplementedError:
+                continue
+            hashes[i] = phash.blockhash64(img)
+            if codec.is_lossless(fmt.iloc[i]):
+                ok[i] = hashes[i] == int(ph.iloc[i])
+            else:
+                ham = bin((hashes[i] ^ int(ph.iloc[i])) & ((1 << 64) - 1)).count("1")
+                ok[i] = ham <= max_hamming_lossy
+        return pd.DataFrame({"phash_rec": hashes, "decode_ok": ok})
+
+    return images.withColumn(
+        "_dc", _check(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), F.col("phash"))
+    ).select("*", "_dc.phash_rec", "_dc.decode_ok").drop("_dc")
 
 
 def with_pixel_features(images: DataFrame, grid: int = 4) -> DataFrame:
     """Feature extraction: mean-pooled grid*grid*3 pixel features from the
     decoded payload (array<float>) — the decode->feature shape a training
     pipeline needs; swap the kernel for a real embedding model at will."""
-    schema = _extended_schema(images, [("features", "array<float>")])
+    from pyspark.sql.types import ArrayType, FloatType
 
-    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for b, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
-                img = _decode(bytes(b), fmt, int(w), int(h)).astype(np.float32)
-                hh, ww = img.shape[0], img.shape[1]
-                ys = (np.arange(hh) * grid) // hh
-                xs = (np.arange(ww) * grid) // ww
-                idx = (ys[:, None] * grid + xs[None, :]).ravel()
-                f = np.stack(
-                    [
-                        np.bincount(idx, weights=img[..., c].ravel(), minlength=grid * grid)
-                        / np.bincount(idx, minlength=grid * grid)
-                        for c in range(3)
-                    ],
-                    axis=1,
-                ).ravel()
-                feats.append((f / 255.0).astype(np.float32))
-            out = pdf.copy()
-            out["features"] = feats
-            yield out
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _feat(b: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        feats = []
+        for i in range(len(b)):
+            img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i])).astype(
+                np.float32
+            )
+            hh, ww = img.shape[0], img.shape[1]
+            ys = (np.arange(hh) * grid) // hh
+            xs = (np.arange(ww) * grid) // ww
+            idx = (ys[:, None] * grid + xs[None, :]).ravel()
+            f = np.stack(
+                [
+                    np.bincount(idx, weights=img[..., c].ravel(), minlength=grid * grid)
+                    / np.bincount(idx, minlength=grid * grid)
+                    for c in range(3)
+                ],
+                axis=1,
+            ).ravel()
+            feats.append((f / 255.0).astype(np.float32))
+        return pd.Series(feats)
 
-    return images.mapInPandas(_feat, schema)
+    return images.withColumn(
+        "features", _feat(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"))
+    )
 
 
 def resized_bytes_col(bytes_col, fmt_col, w_col, h_col, out_w: int, out_h: int):

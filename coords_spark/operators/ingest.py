@@ -40,6 +40,16 @@ def with_anchor_cell(df: DataFrame, level: int, phash_col: str = "phash") -> Dat
     ).drop("_ac")
 
 
+def with_anchor_cell_chunk(
+    df: DataFrame, split_set, base_level: int, phash_col: str = "phash"
+) -> DataFrame:
+    """Fully fused assignment stage (anchor + cell + chunk in one Python
+    stage) for jobs that already hold the split set."""
+    return df.withColumn(
+        "_ac", C.anchor_cell_chunk_struct(F.col(phash_col), split_set, base_level)
+    ).select("*", "_ac.lat", "_ac.lon", "_ac.cell", "_ac.chunk_id").drop("_ac")
+
+
 def payload_nbytes_col(df: DataFrame) -> F.Column:
     """Serialized size estimate per row: payload bytes + fixed overhead.
     Columns that may be absent contribute 0 (bench tables carry no bytes)."""
@@ -71,7 +81,8 @@ def ingest_images(
     split_set = T.compute_split_set(
         pts, cell="cell", nbytes="nbytes", max_bytes=max_bytes, base_level=base_level
     )
-    chunked = T.with_chunk(pts, split_set, cell="cell", base_level=base_level)
+    # pass 2 re-derives everything from phash in ONE fused Python stage
+    chunked = with_anchor_cell_chunk(images, split_set, base_level)
     table = T.materialize_chunk_table(
         chunked, table_path, key_col=key_col, group_level=group_level
     )
