@@ -1151,6 +1151,42 @@ def geo_raster_vector_align(spark, sf):
     return align.align_chunks(raster, vector).orderBy("v_chunk", "r_chunk")
 
 
+@_q("geo_coastline_classify", None)
+def geo_coastline_classify(spark, sf):
+    """Land/water classification of image points against the synthetic
+    coastline ring (the second PIP target family, FIXTURES.md §3)."""
+    import numpy as np
+
+    from coords_spark.kernels import zcurve
+    from coords_spark.kernels.phash import COAST_LAT, COAST_LON
+    from coords_spark.operators import ingest, pip_join
+
+    pts = ingest.with_anchor_cell(
+        _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("string").alias("image_id"),
+            F.xxhash64("o_orderkey").alias("phash"),
+        ),
+        zcurve.MAX_LEVEL,
+    )
+    ring = [
+        {"lat": int(round(la * 1e7)), "lon": int(round(lo * 1e7))}
+        for la, lo in zip(COAST_LAT, COAST_LON)
+    ]
+    import pandas as pd
+
+    polys = spark.createDataFrame(
+        pd.DataFrame([{"poly_id": 1, "outer": ring, "inners": []}]),
+        "poly_id long, outer array<struct<lat:int,lon:int>>, inners array<array<struct<lat:int,lon:int>>>",
+    )
+    on_land = pip_join.pip_enrich(pts, polys).select("image_id").withColumn("on_land", F.lit(True))
+    return (
+        pts.join(on_land, "image_id", "left")
+        .groupBy(F.coalesce("on_land", F.lit(False)).alias("on_land"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("on_land")
+    )
+
+
 @_q("dedup_minhash_lsh_pairs", None)
 def dedup_minhash_lsh_pairs(spark, sf):
     """xxhash64 banded MinHash-LSH candidates + exact Jaccard verify

@@ -31,10 +31,18 @@ def with_point_cell(df: DataFrame, level: int, lat: str = "lat", lon: str = "lon
     return df.withColumn("cell", C.cell_col(F.col(lat), F.col(lon), level))
 
 
+def _drop_derived(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """phash is the source of truth for derived geo columns — recompute
+    rather than trust stale inputs (and avoid duplicate-column errors)."""
+    present = [c for c in cols if c in df.columns]
+    return df.drop(*present) if present else df
+
+
 def with_anchor_cell(df: DataFrame, level: int, phash_col: str = "phash") -> DataFrame:
     """Fused hot path: one Arrow exchange for anchor + mercator + cell
     (equivalent to with_point_cell(with_anchor(df), level), 3x fewer
     Python<->JVM roundtrips)."""
+    df = _drop_derived(df, ("lat", "lon", "cell"))
     return df.withColumn("_ac", C.anchor_cell_struct(F.col(phash_col), level)).select(
         "*", "_ac.lat", "_ac.lon", "_ac.cell"
     ).drop("_ac")
@@ -45,6 +53,7 @@ def with_anchor_cell_chunk(
 ) -> DataFrame:
     """Fully fused assignment stage (anchor + cell + chunk in one Python
     stage) for jobs that already hold the split set."""
+    df = _drop_derived(df, ("lat", "lon", "cell", "chunk_id"))
     return df.withColumn(
         "_ac", C.anchor_cell_chunk_struct(F.col(phash_col), split_set, base_level)
     ).select("*", "_ac.lat", "_ac.lon", "_ac.cell", "_ac.chunk_id").drop("_ac")
