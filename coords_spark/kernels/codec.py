@@ -51,26 +51,28 @@ def encode_pngz(img: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_pngz(data: bytes) -> np.ndarray:
-    if data[:8] != _PNG_SIG:
+def decode_pngz(data) -> np.ndarray:
+    """Accepts bytes or any buffer (memoryview / pyarrow Buffer slice) —
+    zero-copy friendly for Arrow-native UDFs."""
+    data = memoryview(data)
+    if bytes(data[:8]) != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
-    idat = b""
+    idat_parts = []
     while pos < len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        cdata = data[pos + 8 : pos + 8 + ln]
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = bytes(data[pos + 4 : pos + 8])
         if ctype == b"IHDR":
-            w, h, depth, ctyp, _, _, interlace = struct.unpack(">IIBBBBB", cdata)
+            w, h, depth, ctyp, _, _, interlace = struct.unpack_from(">IIBBBBB", data, pos + 8)
             if depth != 8 or ctyp != 2 or interlace != 0:
                 raise ValueError("unsupported PNG variant")
         elif ctype == b"IDAT":
-            idat += cdata
+            idat_parts.append(bytes(data[pos + 8 : pos + 8 + ln]))
         elif ctype == b"IEND":
             break
         pos += 12 + ln
-    rawb = zlib.decompress(idat)
+    rawb = zlib.decompress(b"".join(idat_parts))
     scan = np.frombuffer(rawb, dtype=np.uint8).reshape(h, 1 + w * 3)
     if np.any(scan[:, 0] != 0):
         raise ValueError("only filter 0 supported")
