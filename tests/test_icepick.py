@@ -1,0 +1,76 @@
+"""icepick table-format unit tests (no Spark): atomic commits, crash
+snapshot isolation, pruning, checksum verification."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from coords_spark.sources.icepick import IcepickTable
+
+
+def _stage(tmp_path, name, chunk_ids):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table({"chunk_id": pa.array(chunk_ids, pa.int64()), "v": list(range(len(chunk_ids)))}),
+        str(d / "part-0.parquet"),
+    )
+    return str(d)
+
+
+def test_commit_and_lineage(tmp_path):
+    t = IcepickTable.create(str(tmp_path / "t"))
+    entries = t.commit_staged(_stage(tmp_path, "s1", [5, 7, 9]), group="g1")
+    assert len(entries) == 1
+    e = entries[0]
+    assert e["rows"] == 3 and e["chunk_min"] == 5 and e["chunk_max"] == 9
+    assert e["checksum"].startswith("sha256:")
+    assert t.committed_groups() == {"g1"}
+    assert t.total_rows() == 3
+    assert t.verify_checksums()
+
+
+def test_append_commits_and_pruning(tmp_path):
+    t = IcepickTable.create(str(tmp_path / "t"))
+    t.commit_staged(_stage(tmp_path, "s1", [1, 2]), group="a")
+    t.commit_staged(_stage(tmp_path, "s2", [100, 200]), group="b")
+    assert t.total_rows() == 4
+    assert len(t.data_paths()) == 2
+    assert len(t.data_paths(chunk_min=50)) == 1  # first file pruned
+    assert len(t.data_paths(chunk_max=50)) == 1  # second file pruned
+    assert len(t.data_paths(chunk_min=150, chunk_max=160)) == 1  # overlap rule
+
+
+def test_crash_before_current_swap_keeps_old_snapshot(tmp_path):
+    t = IcepickTable.create(str(tmp_path / "t"))
+    t.commit_staged(_stage(tmp_path, "s1", [1]), group="a")
+    v1 = t.current_manifest()["version"]
+    # simulate a crash: a newer manifest file exists but CURRENT not swapped
+    man = t.current_manifest()
+    man["version"] += 1
+    man["files"] = man["files"] + [{"path": "data/ghost.parquet", "rows": 99, "chunk_min": 0, "chunk_max": 0, "checksum": "sha256:x", "group": "ghost"}]
+    with open(os.path.join(t.manifest_dir, f"manifest-{man['version']:06d}.json"), "w") as f:
+        json.dump(man, f)
+    # reader still sees the old snapshot
+    assert t.current_manifest()["version"] == v1
+    assert t.total_rows() == 1
+    assert "ghost" not in t.committed_groups()
+
+
+def test_empty_group_marking(tmp_path):
+    t = IcepickTable.create(str(tmp_path / "t"))
+    t.mark_group_committed("empty1")
+    assert t.committed_groups() == {"empty1"}
+    assert t.total_rows() == 0
+
+
+def test_checksum_detects_tamper(tmp_path):
+    t = IcepickTable.create(str(tmp_path / "t"))
+    t.commit_staged(_stage(tmp_path, "s1", [1, 2, 3]), group="a")
+    path = t.data_paths()[0]
+    with open(path, "r+b") as f:
+        f.seek(10)
+        f.write(b"\x00\x00")
+    assert not t.verify_checksums()

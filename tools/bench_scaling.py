@@ -55,10 +55,9 @@ def pipeline():
     chunked.drop("bytes").write.mode("overwrite").format("noop").save()
 
 walls = []
-# warm-up on a slice (JIT + python worker pool + page cache)
+# warm-up: one FULL pipeline pass (JIT, python worker pool, page cache)
 t0 = time.time()
-IMG.with_decode_check(imgs.limit(20000)).filter(F.col("decode_ok")) \
-    .write.mode("overwrite").format("noop").save()
+pipeline()
 warmup = time.time() - t0
 for i in range(runs):
     t0 = time.time()
