@@ -487,7 +487,7 @@ def window_top3_per_customer(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         _t(spark, sf, "orders")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
@@ -555,9 +555,9 @@ def window_rank_dense_ntile(spark, sf):
     w2 = Window.orderBy(F.col("s_nationkey"))
     return s.select(
         "s_suppkey",
-        F.rank().over(w1).alias("rnk"),
-        F.dense_rank().over(w2).alias("drnk"),
-        F.ntile(4).over(w1).alias("quartile"),
+        F.rank().over(w1).cast("long").alias("rnk"),
+        F.dense_rank().over(w2).cast("long").alias("drnk"),
+        F.ntile(4).over(w1).cast("long").alias("quartile"),
     )
 
 
@@ -674,7 +674,7 @@ def string_funcs_parts(spark, sf):
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("word1"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
         F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("type_brand"),
@@ -792,7 +792,7 @@ def dedup_exact_stats(spark, sf):
 @_q(
     "dedup_keep_first",
     """
-    SELECT lang, COUNT(*) AS n_kept, SUM(keep_id) AS id_sum FROM (
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(keep_id) AS BIGINT) AS id_sum FROM (
       SELECT lang, MIN(doc_id) AS keep_id
       FROM documents GROUP BY lang, md5(lower(text))
     ) GROUP BY lang
@@ -977,8 +977,8 @@ def langid_heuristic(spark, sf):
     "token_stats_by_lang",
     f"""
     SELECT lang,
-           SUM(len(words))                                    AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '[a-z0-9]+')))    AS alnum_tokens,
+           CAST(SUM(len(words)) AS BIGINT)                                 AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)   AS alnum_tokens,
            COUNT(*)                                           AS n_docs
     FROM (SELECT lang, text, {_WORDS_DUCK} AS words FROM documents)
     GROUP BY lang
