@@ -83,14 +83,26 @@ def knn_join(
 
     results: list[tuple] = []
     pending = {str(q[0]): (int(gx[i]), int(gy[i]), 1) for i, q in enumerate(queries)}
+    # disk-size cap: a query whose disk would exceed this many cells (points
+    # are that sparse around it) drops to a full-scan exact rank instead of
+    # materializing a huge broadcast cell list
+    max_disk_cells = 50_000
+    fallback: dict[str, tuple[int, int]] = {}
     for _ in range(max_rounds):
         if not pending:
             break
         disk_rows = []
-        for qid, (qx, qy, r) in pending.items():
+        for qid, (qx, qy, r) in list(pending.items()):
+            rr = min(r, grid_cells)
+            if (2 * rr + 1) ** 2 > max_disk_cells:
+                fallback[qid] = (qx, qy)
+                del pending[qid]
+                continue
             qcell = int(zcurve.cell_from_point(qx, qy, level))
-            for c in zcurve.cell_disk(qcell, min(r, grid_cells)).tolist():
+            for c in zcurve.cell_disk(qcell, rr).tolist():
                 disk_rows.append((qid, c, qx, qy))
+        if not disk_rows:
+            break
         disks = spark.createDataFrame(
             pd.DataFrame(disk_rows, columns=["qid", "qcell", "qgx", "qgy"]).drop_duplicates(),
             "qid string, qcell long, qgx long, qgy long",
@@ -119,7 +131,28 @@ def knn_join(
                 nxt[qid] = (qx, qy, r * 2)
         pending = nxt
     if pending:
-        raise RuntimeError(f"knn did not converge for queries {sorted(pending)}")
+        fallback.update({qid: (qx, qy) for qid, (qx, qy, _r) in pending.items()})
+    if fallback:
+        # exact full-scan ranking for the sparse stragglers — ONE job for
+        # all of them (broadcast query set, window top-k)
+        fq = spark.createDataFrame(
+            pd.DataFrame(
+                [(qid, qx, qy) for qid, (qx, qy) in fallback.items()],
+                columns=["qid", "qgx", "qgy"],
+            ),
+            "qid string, qgx long, qgy long",
+        )
+        cand = points.select(point_key, "lat", "lon").crossJoin(F.broadcast(fq)).withColumn(
+            "dist", _dist_units_col()
+        )
+        w = Window.partitionBy("qid").orderBy("dist", point_key)
+        rows = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", point_key, "dist")
+            .collect()
+        )
+        results.extend((r["qid"], r["rank"], r[point_key], float(r["dist"])) for r in rows)
     return spark.createDataFrame(
         pd.DataFrame(results, columns=["qid", "rank", point_key, "dist_units"]),
         f"qid string, rank int, {point_key} string, dist_units double",

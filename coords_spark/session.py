@@ -39,6 +39,20 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16384"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
+        # size scan splits so task count >= cores (the payload tables here
+        # are ~1 GB across ~128 small files; the 128 MB default + 4 MB open
+        # cost coalesces them to ~12 partitions, capping parallelism at 12
+        # regardless of cores — the single biggest local-scaling killer).
+        # On a real cluster with 256 MB+ files the default is fine; both
+        # knobs are env-overridable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "1m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
