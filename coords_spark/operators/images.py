@@ -164,6 +164,66 @@ def with_decode_check_arrow(images: DataFrame, max_hamming_lossy: int = 8) -> Da
 with_decode_check = with_decode_check_arrow
 
 
+def with_decode_check_chunk(
+    images: DataFrame, split_set, base_level: int, max_hamming_lossy: int = 8
+) -> DataFrame:
+    """The fully-fused ingest pass 2: decode + hash verify + anchor + cell +
+    chunk assignment in ONE Arrow UDF — a single JVM->Python boundary for
+    the whole per-row pipeline (bytes in, verdict + placement out)."""
+    import numpy as _np
+
+    from coords_spark.kernels import mercator as _mercator
+    from coords_spark.kernels import zcurve as _zcurve
+    from coords_spark.operators.tiling import assign_chunks_np
+
+    split_sorted = _np.sort(_np.asarray(split_set, dtype="int64"))
+
+    @F.arrow_udf("phash_rec long, decode_ok boolean, lat int, lon int, cell long, chunk_id long")
+    def _full(
+        b: pa.Array, fmt: pa.Array, w: pa.Array, h: pa.Array, ph: pa.Array
+    ) -> pa.Array:
+        n = len(b)
+        hashes = _np.zeros(n, dtype=_np.int64)
+        ok = _np.zeros(n, dtype=bool)
+        fmts = fmt.to_pylist()
+        ws = w.to_numpy(zero_copy_only=False)
+        hs = h.to_numpy(zero_copy_only=False)
+        phs = ph.to_numpy(zero_copy_only=False)
+        for i in range(n):
+            try:
+                img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
+            except NotImplementedError:
+                continue
+            hashes[i] = phash.blockhash64(img)
+            if codec.is_lossless(fmts[i]):
+                ok[i] = hashes[i] == int(phs[i])
+            else:
+                ham = bin((hashes[i] ^ int(phs[i])) & ((1 << 64) - 1)).count("1")
+                ok[i] = ham <= max_hamming_lossy
+        lat, lon = phash.anchor(phs)
+        ux, uy = _mercator.latlon_i32_to_unit(lat, lon)
+        gx, gy = _zcurve.unit_to_grid(ux, uy)
+        cell = _zcurve.cell_from_point(gx, gy, base_level).astype("int64")
+        chunk = assign_chunks_np(cell, split_sorted, base_level)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(hashes, pa.int64()),
+                pa.array(ok, pa.bool_()),
+                pa.array(lat, pa.int32()),
+                pa.array(lon, pa.int32()),
+                pa.array(cell, pa.int64()),
+                pa.array(chunk, pa.int64()),
+            ],
+            names=["phash_rec", "decode_ok", "lat", "lon", "cell", "chunk_id"],
+        )
+
+    return images.withColumn(
+        "_f", _full(F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), F.col("phash"))
+    ).select(
+        "*", "_f.phash_rec", "_f.decode_ok", "_f.lat", "_f.lon", "_f.cell", "_f.chunk_id"
+    ).drop("_f")
+
+
 def with_pixel_features(images: DataFrame, grid: int = 4) -> DataFrame:
     """Feature extraction: mean-pooled grid*grid*3 pixel features from the
     decoded payload (array<float>) — the decode->feature shape a training

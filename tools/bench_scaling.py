@@ -45,31 +45,50 @@ def pipeline():
     # pass 1 (metadata only): anchor -> cell -> size rollup -> split set;
     # pass 2: decode+hash verify -> fused chunk assign (noop sink isolates
     # compute from disk variance)
+    t_p0 = time.time()
     pts = ingest.with_anchor_cell(imgs.select("image_id", "phash"),
                                   tiling.DEFAULT_BASE_LEVEL)
     pts = pts.withColumn("nbytes", F.lit(4096).cast("long"))
     split = tiling.compute_split_set(pts, max_bytes=tiling.DEFAULT_MAX_BYTES,
                                      base_level=tiling.DEFAULT_BASE_LEVEL)
-    checked = IMG.with_decode_check(imgs).filter(F.col("decode_ok"))
-    chunked = ingest.with_anchor_cell_chunk(checked, split, tiling.DEFAULT_BASE_LEVEL)
+    t_split_done = time.time()
+    chunked = IMG.with_decode_check_chunk(imgs, split, tiling.DEFAULT_BASE_LEVEL).filter(
+        F.col("decode_ok")
+    )
     chunked.drop("bytes").write.mode("overwrite").format("noop").save()
+    return {"split": round(t_split_done - t_p0, 2), "assign": round(time.time() - t_split_done, 2)}
 
 walls = []
+phases = []
 # warm-up: one FULL pipeline pass (JIT, python worker pool, page cache)
 t0 = time.time()
 pipeline()
 warmup = time.time() - t0
 for i in range(runs):
     t0 = time.time()
-    pipeline()
+    ph = pipeline()
     walls.append(time.time() - t0)
+    phases.append(ph)
 n = imgs.count()
-print(json.dumps({"walls": walls, "warmup": warmup, "rows": n, "cpus": cpus}))
+print(json.dumps({"walls": walls, "warmup": warmup, "rows": n, "cpus": cpus,
+                  "phases": phases}))
 spark.stop()
 """
 
 
+def _dir_mb(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return max(1, total >> 20)
+
+
 def run_level(cpus: int, points: str, runs: int) -> list[float]:
+    # size scan splits so the decode stage gets ~4+ tasks per core (fine
+    # decomposition balances better under ambient host load; measured
+    # faster than 2 tasks/core at 8 cores)
+    split_mb = max(4, _dir_mb(points) // (8 * cpus))
     env = dict(
         os.environ,
         COORDS_REPO=REPO,
@@ -77,6 +96,7 @@ def run_level(cpus: int, points: str, runs: int) -> list[float]:
         BENCH_IMAGES=points,
         BENCH_RUNS=str(runs),
         BENCH_OUT=os.path.join(REPO, ".bench_cache", "scaling_out"),
+        SPARK_GRAFT_MAX_PARTITION_BYTES=f"{split_mb}m",
     )
     out = subprocess.run(
         [sys.executable, "-c", _CHILD], env=env, capture_output=True, text=True
@@ -88,7 +108,8 @@ def run_level(cpus: int, points: str, runs: int) -> list[float]:
         raise RuntimeError(f"child failed at local[{cpus}]")
     res = json.loads(lines[-1])
     print(
-        f"  local[{cpus}] warmup={res['warmup']:.2f}s runs={[round(w, 2) for w in res['walls']]}",
+        f"  local[{cpus}] warmup={res['warmup']:.2f}s runs={[round(w, 2) for w in res['walls']]} "
+        f"phases={res.get('phases')}",
         file=sys.stderr,
     )
     return res["walls"]
