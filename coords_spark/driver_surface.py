@@ -1069,6 +1069,58 @@ def embedding_norms_by_label(spark, sf):
     )
 
 
+@_q(
+    "tumbling_window_event_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_event_counts(spark, sf):
+    """Streaming facade in batch mode (identical semantics either way)."""
+    from coords_spark.streaming import tumbling_window_counts
+
+    ev = _t(spark, sf, "events")
+    return tumbling_window_counts(ev, watermark=None).select(
+        F.unix_micros(F.col("win_start").cast("timestamp")).alias("win_start_us"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@_q("session_window_stats", None)
+def session_window_stats_q(spark, sf):
+    from coords_spark.streaming import session_window_stats
+
+    ev = _t(spark, sf, "events")
+    s = session_window_stats(ev, watermark=None)
+    return s.select(
+        F.unix_micros(F.col("sess_start").cast("timestamp")).alias("sess_start_us"),
+        "user_id",
+        "n_events",
+        "total",
+    )
+
+
+@_q("payload_decode_verify", None)
+def payload_decode_verify(spark, sf):
+    """Decode + blockhash + PSNR verification over a synthesized image
+    payload batch (input_hint invariant as a query; rows-only — binary
+    payloads aren't ANSI-SQL territory)."""
+    from coords_spark.fixtures import gen_images
+    from coords_spark.operators import images as IMG
+
+    imgs = spark.createDataFrame(gen_images(400).to_pandas())
+    v = IMG.with_payload_verification(imgs)
+    return v.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("payload_ok").cast("int")).alias("n_ok"),
+        F.round(F.min("psnr"), 2).alias("min_psnr"),
+    ).orderBy("fmt")
+
+
 # ===========================================================================
 # H. spatial engine queries (no ANSI-SQL twin -> driver rows-only check;
 #    byte-for-byte gates live in tests/ against the mini-COORDS oracle)
