@@ -137,8 +137,11 @@ def main():
     lo = run_level(args.low, points, args.runs)
     hi = run_level(args.high, points, args.runs)
     load_after = loadavg()
-    wall_lo = statistics.median(lo)
-    wall_hi = statistics.median(hi)
+    # min-of-N: external host load (shared sandbox) only ever ADDS wall
+    # time, so the minimum is the best estimator of the true quiet-host
+    # wall (timeit-style); medians are reported in all_walls for honesty
+    wall_lo = min(lo)
+    wall_hi = min(hi)
     thr_lo = args.rows / wall_lo
     thr_hi = args.rows / wall_hi
     eff = thr_hi / (thr_lo * (args.high / args.low))
@@ -152,6 +155,9 @@ def main():
         "rows_per_sec_high": round(thr_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "runs": args.runs,
+        "estimator": "min",
+        "median_low_s": round(statistics.median(lo), 3),
+        "median_high_s": round(statistics.median(hi), 3),
         "all_walls": {"low": [round(w, 2) for w in lo], "high": [round(w, 2) for w in hi]},
         "host_loadavg": {"before": load_before, "after": load_after},
     }

@@ -1,0 +1,159 @@
+"""Paired scaling measurement for noisy shared hosts.
+
+Two persistent Spark JVMs (local[N] and local[4N]) alternate runs of the
+SAME pipeline A/B/A/B..., so both levels sample the same ambient host load;
+efficiency = throughput ratio of the per-level minima (external load only
+ever adds time). This replaces sequential per-level measurement, which is
+hostage to load drift between the two phases.
+
+    python tools/bench_scaling_paired.py [--rows 200000] [--low 8]
+                                         [--high 32] [--rounds 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["COORDS_REPO"])
+from pyspark.sql import functions as F
+from coords_spark.session import get_spark
+from coords_spark.operators import images as IMG
+from coords_spark.operators import ingest, tiling
+
+cpus = int(os.environ["BENCH_CPUS"])
+path = os.environ["BENCH_IMAGES"]
+ctl = os.environ["BENCH_CTL"]
+rounds = int(os.environ["BENCH_ROUNDS"])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+                  app_name=f"paired-{cpus}")
+spark.sparkContext.setLogLevel("ERROR")
+imgs = spark.read.parquet(path)
+
+def pipeline():
+    pts = ingest.with_anchor_cell(imgs.select("image_id", "phash"),
+                                  tiling.DEFAULT_BASE_LEVEL)
+    pts = pts.withColumn("nbytes", F.lit(4096).cast("long"))
+    split = tiling.compute_split_set(pts, max_bytes=tiling.DEFAULT_MAX_BYTES,
+                                     base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = IMG.with_decode_check_chunk(imgs, split, tiling.DEFAULT_BASE_LEVEL).filter(
+        F.col("decode_ok"))
+    chunked.drop("bytes").write.mode("overwrite").format("noop").save()
+
+pipeline()  # warm-up (JIT + python workers + page cache)
+open(os.path.join(ctl, f"ready-{cpus}"), "w").close()
+for i in range(rounds):
+    go = os.path.join(ctl, f"go-{cpus}-{i}")
+    while not os.path.exists(go):
+        time.sleep(0.2)
+    t0 = time.time()
+    pipeline()
+    wall = time.time() - t0
+    with open(os.path.join(ctl, f"done-{cpus}-{i}"), "w") as f:
+        f.write(str(wall))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=6)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from bench import ensure_images
+
+    cache = os.path.join(REPO, ".bench_cache")
+    points = ensure_images(args.rows, cache, files=128)
+    ctl = tempfile.mkdtemp(prefix="paired_ctl_")
+
+    def spawn(cpus: int) -> subprocess.Popen:
+        sz = max(4, 968 // (8 * cpus))
+        env = dict(
+            os.environ,
+            COORDS_REPO=REPO,
+            BENCH_CPUS=str(cpus),
+            BENCH_IMAGES=points,
+            BENCH_CTL=ctl,
+            BENCH_ROUNDS=str(args.rounds),
+            SPARK_GRAFT_MAX_PARTITION_BYTES=f"{sz}m",
+        )
+        return subprocess.Popen(
+            [sys.executable, "-c", _CHILD], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    def loadavg() -> float:
+        return float(open("/proc/loadavg").read().split()[0])
+
+    p_lo = spawn(args.low)
+    p_hi = spawn(args.high)
+    for cpus in (args.low, args.high):
+        while not os.path.exists(os.path.join(ctl, f"ready-{cpus}")):
+            time.sleep(0.5)
+            if p_lo.poll() is not None or p_hi.poll() is not None:
+                raise RuntimeError("child died during warm-up")
+
+    walls = {args.low: [], args.high: []}
+    loads = []
+    for i in range(args.rounds):
+        loads.append(loadavg())
+        for cpus in (args.low, args.high):
+            open(os.path.join(ctl, f"go-{cpus}-{i}"), "w").close()
+            done = os.path.join(ctl, f"done-{cpus}-{i}")
+            while not os.path.exists(done):
+                time.sleep(0.2)
+            walls[cpus].append(float(open(done).read()))
+        print(
+            f"round {i}: load={loads[-1]:.1f} "
+            f"lo={walls[args.low][-1]:.2f}s hi={walls[args.high][-1]:.2f}s",
+            file=sys.stderr,
+        )
+    p_lo.wait(timeout=60)
+    p_hi.wait(timeout=60)
+
+    lo, hi = walls[args.low], walls[args.high]
+    wall_lo, wall_hi = min(lo), min(hi)
+    eff = (args.rows / wall_hi) / ((args.rows / wall_lo) * (args.high / args.low))
+    # paired per-round efficiencies (same-noise samples)
+    per_round = [
+        round((args.rows / h) / ((args.rows / l) * (args.high / args.low)), 3)
+        for l, h in zip(lo, hi)
+    ]
+    print(
+        json.dumps(
+            {
+                "rows": args.rows,
+                "low_cpus": args.low,
+                "high_cpus": args.high,
+                "wall_low_s": round(wall_lo, 3),
+                "wall_high_s": round(wall_hi, 3),
+                "rows_per_sec_low": round(args.rows / wall_lo, 1),
+                "rows_per_sec_high": round(args.rows / wall_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "estimator": "min-of-paired-rounds",
+                "per_round_efficiency": per_round,
+                "all_walls": {
+                    "low": [round(w, 2) for w in lo],
+                    "high": [round(w, 2) for w in hi],
+                },
+                "host_loadavg_per_round": [round(x, 1) for x in loads],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
