@@ -161,13 +161,18 @@ def main() -> None:
         .count()
     )
     queries["payload_decode_check"] = time.time() - t0
-    assert n_bad == 0, f"{n_bad} payload verification failures"
+    # n_bad lands in the JSON (must be 0); never abort the bench on it
+    payload_failures = int(n_bad)
 
+    errors: dict[str, str] = {}
     for name in SURFACE_QUERIES:
         fn = QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        queries[name] = time.time() - t0
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            queries[name] = time.time() - t0
+        except Exception as e:  # one broken query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = time.time() - t_start
     result = {
@@ -181,6 +186,8 @@ def main() -> None:
         "assign_rows_per_sec": round(n_rows / queries["geo_chunk_assign"], 1),
         "payload_rows": n_imgs,
         "decode_rows_per_sec": round(n_imgs / queries["payload_decode_check"], 1),
+        "payload_failures": payload_failures,
+        "errors": errors,
         "total_wall_sec": round(total, 3),
         "cpus": int(cpus),
     }

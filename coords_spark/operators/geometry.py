@@ -79,6 +79,35 @@ def simplified_pts_col(pts_col, lod: int) -> Column:
     return _dp(pts_col)
 
 
+def build_lod_tables(
+    geoms: DataFrame,
+    lods: list[int],
+    pts: str = "pts",
+    min_px: float = 2.0,
+) -> dict[int, DataFrame]:
+    """T7 applied: per-zoom materializable tables — geometry simplified to
+    the lod's pixel tolerance, features whose envelope is smaller than
+    `min_px` pixels at that lod dropped (COORDS precomputes exactly this
+    per level, REF? src/lod/ [L-M]). Returns {lod: DataFrame}; callers
+    materialize each via tiling.materialize_chunk_table."""
+    out = {}
+    df = with_envelope(geoms, pts)
+    for lod in sorted(lods):
+        # feature size threshold in int32 degree units: one pixel at `lod`
+        # spans ~ 360 deg / (2^lod * 256 px) horizontally
+        px_deg_1e7 = int(3_600_000_000 / ((1 << lod) * 256))
+        keep = (
+            (F.col("env_maxlon") - F.col("env_minlon") >= min_px * px_deg_1e7)
+            | (F.col("env_maxlat") - F.col("env_minlat") >= min_px * px_deg_1e7)
+        )
+        out[lod] = (
+            df.filter(keep)
+            .withColumn(pts, simplified_pts_col(F.col(pts), lod))
+            .withColumn("lod", F.lit(lod))
+        )
+    return out
+
+
 def geom_blob_col(gtype_col, id_col, pts_col) -> Column:
     """Deterministic GenericGeometry-style serialization (the byte-for-byte
     comparison unit, SURVEY §1.2). Single-ring geometries."""

@@ -138,6 +138,20 @@ def test_lod_simplification_invariants(spark, osm):
     assert sum(r["n0"] - r["n4"] for r in rows) > 0
 
 
+def test_build_lod_tables(spark, osm):
+    rw = osm["ring_ways"].select(F.col("id").alias("way_id"), "pts")
+    tabs = geometry.build_lod_tables(rw, [4, 10, 14])
+    n14, n10, n4 = tabs[14].count(), tabs[10].count(), tabs[4].count()
+    assert n4 <= n10 <= n14 <= rw.count()  # coarser lods drop small features
+    assert n14 > 0
+    # simplification applied: average vertex count shrinks at coarse lods
+    if n4 > 0:
+        avg4 = tabs[4].select(F.avg(F.size("pts"))).first()[0]
+        avg14 = tabs[14].select(F.avg(F.size("pts"))).first()[0]
+        assert avg4 <= avg14
+    assert tabs[10].filter(F.col("lod") != 10).count() == 0
+
+
 def test_geom_blob_roundtrip(spark, osm):
     from coords_spark.kernels import geomblob
 
