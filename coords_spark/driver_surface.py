@@ -1283,6 +1283,50 @@ def text_quality_scored(spark, sf):
     )
 
 
+@_q("geo_osm_way_tiling", None)
+def geo_osm_way_tiling(spark, sf):
+    """E3 end-to-end on the OSM-like fixture: resolve ways (J1) ->
+    envelope (T3) -> deepest containing cell (T4) -> size-bounded chunk
+    (T5) -> per-chunk feature counts. Fixture synthesized deterministically
+    in-memory (FIXTURES.md §2)."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve, tiling
+
+    nodes = spark.createDataFrame(gen_nodes(4000).to_pandas())
+    ways = spark.createDataFrame(gen_ways(600, 4000).to_pandas())
+    resolved = resolve.resolve_ways(ways, nodes)
+    g = geometry.with_geometry_cell(geometry.with_envelope(resolved))
+    g = g.withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
+    split = tiling.compute_split_set(g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    return (
+        chunked.groupBy("chunk_id")
+        .agg(F.count("*").alias("n_ways"), F.sum(F.size("pts")).alias("n_vertices"))
+        .orderBy("chunk_id")
+    )
+
+
+@_q("geo_multipolygon_assembly", None)
+def geo_multipolygon_assembly(spark, sf):
+    """T8 as a query: assemble multipolygons from relation member arcs;
+    per-relation polygon/hole/vertex counts."""
+    from coords_spark.fixtures import gen_relations
+    from coords_spark.operators import multipolygon, resolve
+
+    relations, ring_ways = gen_relations(60)
+    rel_df = spark.createDataFrame(relations.to_pandas())
+    rw_df = spark.createDataFrame(ring_ways.to_pandas()).select(
+        F.col("id").alias("way_id"), "pts"
+    )
+    members = resolve.resolve_relation_members(rel_df, rw_df)
+    mp = multipolygon.reconstruct_multipolygons(members)
+    return mp.groupBy("relation_id").agg(
+        F.count("*").alias("n_polygons"),
+        F.sum(F.size("outer")).alias("outer_vertices"),
+        F.sum(F.size("inners")).alias("n_holes"),
+    ).orderBy("relation_id")
+
+
 @_q("geo_chunk_rollup", None)
 def geo_chunk_rollup(spark, sf):
     """Flagship: quadtree chunk assignment + per-chunk stats (T2/T4/T5)."""
