@@ -60,4 +60,6 @@ def align_chunks(
             "v_chunk", "r_chunk"
         )
         out = j2 if out is None else out.unionAll(j2)
+    if out is None:  # both inputs empty
+        return raster.sparkSession.createDataFrame([], "v_chunk long, r_chunk long")
     return out.distinct()

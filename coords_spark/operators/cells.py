@@ -123,8 +123,12 @@ def ancestor_expr(cell_sql: str, level: int) -> Column:
     )
 
 
-def envelope_cell_col(gx0, gy0, gx1, gy1, max_level: int = zcurve.MAX_LEVEL) -> Column:
-    """Deepest cell fully containing an envelope in grid units (T4)."""
+def grid_envelope_cell_col(gx0, gy0, gx1, gy1, max_level: int = zcurve.MAX_LEVEL) -> Column:
+    """Deepest cell fully containing an envelope in MERCATOR GRID units
+    (T4). For lat/lon-int32 envelopes use
+    operators.geometry.envelope_cell_col — same shape, different domain;
+    the names differ on purpose so a wrong import can't silently produce
+    garbage cells."""
 
     @F.pandas_udf(LongType())
     def _env(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:

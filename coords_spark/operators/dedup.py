@@ -143,17 +143,26 @@ def simhash64_col(text_col) -> F.Column:
 
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """SimHash near-dup candidates via 4x16-bit block LSH (two fingerprints
-    within hamming distance 3 share at least one of 4 blocks), verified by
-    exact popcount on the pair."""
+    """SimHash near-dup candidates via block LSH, verified by exact popcount.
+
+    Completeness by pigeonhole: the 64 bits are partitioned into
+    max_hamming+1 blocks, so two fingerprints within `max_hamming` differing
+    bits MUST agree on at least one whole block — candidate generation is
+    recall-complete for the requested radius (the block count adapts;
+    a fixed 4-block split would silently miss pairs for max_hamming > 3)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > 32:
+        raise ValueError("max_hamming > 31 makes blocks narrower than 2 bits")
+    width = (64 + n_blocks - 1) // n_blocks
+    mask = (1 << width) - 1
     d = df.select("doc_id", simhash64_col(F.col(text_col)).alias("sh"))
     blocks = d.select(
         "doc_id",
         "sh",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> struct(b as blk, "
-                "(shiftrightunsigned(sh, b * 16) & 65535) as bv))"
+                f"transform(sequence(0, {n_blocks - 1}), b -> struct(b as blk, "
+                f"(shiftrightunsigned(sh, b * {width}) & {mask}) as bv))"
             )
         ).alias("s"),
     ).select("doc_id", "sh", F.col("s.blk").alias("blk"), F.col("s.bv").alias("bv"))
@@ -171,22 +180,36 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: random-hyperplane LSH bucket join +
-    exact cosine verification on bucket-collision pairs only."""
-    from coords_spark.operators.similarity import lsh_bucket_col, cosine_expr
+    """Embedding-cosine near-dup: BANDED random-hyperplane LSH (candidate if
+    any band's sign-signature matches — a single wide signature has ~28%
+    recall at cosine 0.95; 4 bands of 4 planes give ~96%) + exact cosine
+    verification on collision pairs only."""
+    from coords_spark.operators.similarity import cosine_expr, lsh_bucket_col
 
-    d = df.select(key, vec).withColumn("bucket", lsh_bucket_col(F.col(vec), n_planes, seed))
-    a = d.select(F.col(key).alias("id_a"), F.col(vec).alias("va"), "bucket")
-    b = d.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    d = df.select(key, vec)
+    for band in range(n_bands):
+        d = d.withColumn(
+            f"b{band}", lsh_bucket_col(F.col(vec), planes_per_band, seed + 101 * band)
+        )
+    cands = None
+    for band in range(n_bands):
+        a = d.select(F.col(key).alias("id_a"), F.col(f"b{band}").alias("bv"))
+        b = d.select(F.col(key).alias("id_b"), F.col(f"b{band}").alias("bv"))
+        j = a.join(b, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = j if cands is None else cands.unionAll(j)
+    cands = cands.distinct()
+    va = df.select(F.col(key).alias("id_a"), F.col(vec).alias("va"))
+    vb = df.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"))
     return (
-        pairs.withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .distinct()
     )

@@ -160,7 +160,7 @@ def materialize_chunk_table(
     key_col: str = "image_id",
     chunk_col: str = "chunk_id",
     group_level: int = 2,
-    partitions_per_group: int | None = None,
+    shuffle_partitions: int | None = None,
     progress_cb=None,
 ) -> IcepickTable:
     """Write df as an icepick chunk table, one atomic commit per chunk
@@ -177,7 +177,8 @@ def materialize_chunk_table(
         # — their rows are never repartitioned or rewritten
         dfg = dfg.filter(~F.col("_grp").cast("string").isin(*sorted(committed)))
     spark = df.sparkSession
-    nshuffle = partitions_per_group or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # TOTAL range-partition count for the whole write (not per group)
+    nshuffle = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     staging_root = os.path.join(table_path, f"_staging-{uuid.uuid4().hex[:8]}")
     # ONE data pass: range-partition by (chunk, xxhash64(key)) — hotspot
     # chunks spread across partitions (T6) while staying chunk-contiguous —

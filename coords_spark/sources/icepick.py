@@ -74,6 +74,14 @@ class IcepickTable:
 
     # -- manifest machinery --------------------------------------------------
 
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
     def _write_manifest(self, manifest: dict) -> None:
         name = f"manifest-{manifest['version']:06d}.json"
         mpath = os.path.join(self.manifest_dir, name)
@@ -83,12 +91,16 @@ class IcepickTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mpath)
+        # persist the manifest rename BEFORE CURRENT can name it — otherwise
+        # a power cut may durably point CURRENT at a nonexistent file
+        self._fsync_dir(self.manifest_dir)
         cur_tmp = os.path.join(self.path, _CURRENT + ".tmp")
         with open(cur_tmp, "w") as f:
             f.write(name)
             f.flush()
             os.fsync(f.fileno())
         os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+        self._fsync_dir(self.path)
 
     def current_manifest(self) -> dict:
         with open(os.path.join(self.path, _CURRENT)) as f:

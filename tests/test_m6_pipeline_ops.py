@@ -130,6 +130,29 @@ def test_simhash_near_dups(spark, docs):
     assert sum(hams) / len(hams) <= 10
 
 
+def test_simhash_block_lsh_complete_for_radius():
+    """Pigeonhole completeness of the adaptive block split: any pair within
+    max_hamming bits must share at least one block (pure math check)."""
+    import random
+
+    rnd = random.Random(42)
+    for max_h in (3, 5, 8):
+        n_blocks = max_h + 1
+        width = (64 + n_blocks - 1) // n_blocks
+        for _ in range(200):
+            a = rnd.getrandbits(64)
+            flips = rnd.sample(range(64), rnd.randint(0, max_h))
+            b = a
+            for f in flips:
+                b ^= 1 << f
+            shared = any(
+                ((a >> (i * width)) & ((1 << width) - 1))
+                == ((b >> (i * width)) & ((1 << width) - 1))
+                for i in range(n_blocks)
+            )
+            assert shared, (max_h, flips)
+
+
 def test_embedding_near_dups(spark, emb):
     base = emb.select("vec_id", "embedding")
     clones = base.limit(6).select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
