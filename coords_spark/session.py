@@ -33,6 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # re-launch straggling tasks — on shared/noisy hosts a single starved
+        # task otherwise sets the stage wall time
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.9")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
