@@ -1271,7 +1271,27 @@ def embedding_ann_topk(spark, sf):
     )
 
 
-@_q("text_quality_scored", None)
+@_q(
+    "text_quality_scored",
+    r"""
+    SELECT lang, COUNT(*) AS n,
+           ROUND(AVG(ROUND(CASE WHEN n_words >= 10 AND avg_word_len BETWEEN 2 AND 12
+                     THEN 1.0 ELSE 0.0 END * (0.5 + alpha_ratio / 2), 4)), 4) AS avg_quality,
+           ROUND(AVG(n_stop * 1.0 / GREATEST(n_words, 1)), 4) AS avg_stopword_ratio
+    FROM (
+      SELECT lang,
+             len(words) AS n_words,
+             list_aggregate(list_transform(words, w -> length(w)), 'sum') * 1.0
+               / GREATEST(len(words), 1) AS avg_word_len,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1) AS alpha_ratio,
+             len(list_filter(words, w -> w IN ('the','a','of','and','to','in'))) AS n_stop
+      FROM (SELECT lang, text,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+            FROM documents)
+    ) GROUP BY lang
+    """,
+)
 def text_quality_scored(spark, sf):
     from coords_spark.operators import text as T
 
