@@ -23,7 +23,7 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     eff=$(echo "$res" | python3 -c "import json,sys; print(json.load(sys.stdin)['scaling_efficiency'])" 2>/dev/null || echo 0)
     echo "attempt $attempt efficiency=$eff"
     if python3 -c "import sys; sys.exit(0 if float('$eff') >= float('$TARGET') else 1)"; then
-      echo "$res" > "$REPO/BENCH/scaling_result.json"
+      echo "$res" > "$REPO/BENCH/scaling_quiet_window.json"
       echo "target met"; exit 0
     fi
   fi
@@ -42,6 +42,6 @@ if os.path.exists(path):
         if best is None or r["scaling_efficiency"] > best["scaling_efficiency"]:
             best = r
 if best:
-    json.dump(best, open(os.path.join(repo, "BENCH", "scaling_result.json"), "w"))
+    json.dump(best, open(os.path.join(repo, "BENCH", "scaling_best_attempt.json"), "w"))
     print("best:", best["scaling_efficiency"])
 PY
