@@ -131,6 +131,13 @@ def main() -> None:
     cache_root = os.path.join(repo, ".bench_cache")
     os.makedirs(cache_root, exist_ok=True)
 
+    # Keep the --py-files artifact in lockstep with the tree (round-1
+    # footgun: a stale zip silently voided driver coverage for late queries).
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import build_zip
+
+    build_zip.rebuild(repo)
+
     from coords_spark.driver_surface import QUERIES
     from coords_spark.session import get_spark
 

@@ -1151,7 +1151,12 @@ def geo_pip_enrich(spark, sf):
         ),
         zcurve.MAX_LEVEL,
     )
-    polys = spark.createDataFrame(gen_admin_polygons(50).to_pandas())
+    polys = spark.createDataFrame(
+        gen_admin_polygons(50).to_pandas(),
+        "poly_id long, name string, level int, "
+        "outer array<struct<lat:int,lon:int>>, "
+        "inners array<array<struct<lat:int,lon:int>>>",
+    )
     pairs = pip_join.pip_enrich(pts, polys)
     return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points")).orderBy("poly_id")
 

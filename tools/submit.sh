@@ -5,17 +5,7 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 mkdir -p "$REPO/dist"
 cd "$REPO"
-python - <<'EOF'
-import os, zipfile
-with zipfile.ZipFile("dist/coords_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
-    for root, dirs, files in os.walk("coords_spark"):
-        dirs[:] = [d for d in dirs if d != "__pycache__"]
-        for f in files:
-            if f.endswith(".py"):
-                p = os.path.join(root, f)
-                z.write(p, p)
-print("built dist/coords_spark.zip")
-EOF
+python "$REPO/tools/build_zip.py"
 exec spark-submit --master "${SPARK_MASTER:-local[8]}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-16}" \
