@@ -856,43 +856,49 @@ def minhash_band_signature(spark, sf):
                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
         FROM (SELECT doc_id, lang, source, {_WORDS_DUCK} AS words FROM documents)
       )
-    ), sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ), sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT s.* FROM sh s JOIN (
+        SELECT lang, source, sh FROM sh
+        GROUP BY lang, source, sh HAVING COUNT(*) <= 32
+      ) r USING (lang, source, sh)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
            ROUND(COUNT(*) * 1.0 / (sa.nsh + sb.nsh - COUNT(*)), 4) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
-     AND a.doc_id < b.doc_id
-    JOIN sizes sa ON sa.doc_id = a.doc_id
-    JOIN sizes sb ON sb.doc_id = b.doc_id
-    GROUP BY a.doc_id, b.doc_id, sa.nsh, sb.nsh
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b, sa.nsh, sb.nsh
     HAVING COUNT(*) * 1.0 / (sa.nsh + sb.nsh - COUNT(*)) >= 0.05
     """,
 )
 def ngram_jaccard_pairs(spark, sf):
-    """Near-dup candidates: 3-word-shingle Jaccard within (lang, source)
-    buckets — the bucket key bounds the self-join (at scale this is the
-    LSH-band bucketing pattern; here buckets are natural keys)."""
-    d = _t(spark, sf, "documents").selectExpr(
-        "doc_id", "lang", "source", f"{_WORDS_SPARK} as words"
-    )
-    sh = d.selectExpr(
-        "doc_id",
-        "lang",
-        "source",
-        "explode(CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words) - 2), "
-        "i -> concat_ws(' ', words[i-1], words[i], words[i+1])) ELSE array() END) as sh",
-    ).distinct()
+    """Near-dup pairs: 3-word-shingle Jaccard. Candidate generation joins
+    only on DISCRIMINATIVE shingles (document frequency <= 32 within the
+    (lang, source) bucket) so one ultra-frequent shingle can never make
+    the self-join quadratic; the exact Jaccard is then computed over the
+    FULL shingle sets, confined to candidate pairs. A pair is missed only
+    if every shared shingle is frequent — the documented recall trade-off
+    of DF capping (same shape as minhash_lsh_candidates + jaccard_verify)."""
+    from coords_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    sh = dedup.bucketed_shingles(d, n=3)
+    cand = dedup.ngram_candidates(sh, df_cap=32)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "lang", "source", "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l2"), F.col("source").alias("s2"), F.col("sh").alias("sh2"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("_bdoc"), F.col("sh").alias("sh2"))
     common = (
-        a.join(
-            b,
-            (F.col("lang") == F.col("l2"))
-            & (F.col("source") == F.col("s2"))
-            & (F.col("sh") == F.col("sh2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_bdoc")) & (F.col("sh") == F.col("sh2")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ncommon"))
     )
@@ -1090,8 +1096,32 @@ def tumbling_window_event_counts(spark, sf):
     )
 
 
-@_q("session_window_stats", None)
+@_q(
+    "session_window_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT epoch_us(MIN(ts)) AS sess_start_us, user_id,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def session_window_stats_q(spark, sf):
+    """Gap-based sessionization (session_window, gap 5 min). SQL twin:
+    lag + cumulative-sum sessionization — a new session starts when the
+    gap to the previous event is >= the gap duration (Spark session
+    windows are half-open [ts, ts+gap))."""
     from coords_spark.streaming import session_window_stats
 
     ev = _t(spark, sf, "events")
@@ -1104,6 +1134,82 @@ def session_window_stats_q(spark, sf):
     )
 
 
+@_q(
+    "sliding_window_user_counts",
+    """
+    SELECT epoch_us(ws) AS win_start_us, user_id, COUNT(*) AS n
+    FROM (
+      SELECT user_id, UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                              time_bucket(INTERVAL '5 minutes', ts)
+                                - INTERVAL '5 minutes']) AS ws
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def sliding_window_user_counts(spark, sf):
+    """Sliding window (width 10 min, slide 5 min) per-user event counts
+    (SURVEY §2.9). Each event lands in exactly width/slide = 2 windows;
+    the twin materializes both window starts per event and aggregates."""
+    from coords_spark.streaming import sliding_window_counts
+
+    ev = _t(spark, sf, "events")
+    return sliding_window_counts(ev, watermark=None).select(
+        F.unix_micros(F.col("win_start").cast("timestamp")).alias("win_start_us"),
+        "user_id",
+        "n",
+    )
+
+
+@_q(
+    "watermark_dedup_counts",
+    """
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT event_id, ANY_VALUE(event_type) AS event_type
+      FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+      GROUP BY event_id
+    ) GROUP BY event_type
+    """,
+)
+def watermark_dedup_counts(spark, sf):
+    """Watermark-bounded dedup (§2.9) in batch mode: duplicate the events
+    feed, drop duplicates on event_id, count per type. The streaming path
+    (dropDuplicatesWithinWatermark) shares this transform; stream==batch
+    equivalence is pytest-gated in tests/test_streaming."""
+    from coords_spark.streaming import watermark_dedup
+
+    ev = _t(spark, sf, "events")
+    return watermark_dedup(ev.unionAll(ev), key="event_id").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "approx_distinct_customers",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys, TRUE AS within_2pct
+    FROM orders
+    """,
+)
+def approx_distinct_customers(spark, sf):
+    """A4 approximate count-distinct: HLL++ sketch vs the exact count.
+    Spark's HLL value can't be reproduced by DuckDB, so the query itself
+    asserts the sketch's relative error bound (rsd 0.01 -> check 2%) and
+    returns (exact, bound_held) — which the twin can hash-match."""
+    o = _t(spark, sf, "orders")
+    agg = o.agg(
+        F.count_distinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+    )
+    return agg.select(
+        "exact_custkeys",
+        (
+            F.abs(F.col("approx") - F.col("exact_custkeys"))
+            / F.col("exact_custkeys")
+            <= 0.02
+        ).alias("within_2pct"),
+    )
+
+
 @_q("payload_decode_verify", None)
 def payload_decode_verify(spark, sf):
     """Decode + blockhash + PSNR verification over a synthesized image
@@ -1112,7 +1218,7 @@ def payload_decode_verify(spark, sf):
     from coords_spark.fixtures import gen_images
     from coords_spark.operators import images as IMG
 
-    imgs = spark.createDataFrame(gen_images(400).to_pandas())
+    imgs = spark.createDataFrame(gen_images(400))
     v = IMG.with_payload_verification(imgs)
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
@@ -1151,12 +1257,7 @@ def geo_pip_enrich(spark, sf):
         ),
         zcurve.MAX_LEVEL,
     )
-    polys = spark.createDataFrame(
-        gen_admin_polygons(50).to_pandas(),
-        "poly_id long, name string, level int, "
-        "outer array<struct<lat:int,lon:int>>, "
-        "inners array<array<struct<lat:int,lon:int>>>",
-    )
+    polys = spark.createDataFrame(gen_admin_polygons(50))
     pairs = pip_join.pip_enrich(pts, polys)
     return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points")).orderBy("poly_id")
 
@@ -1317,8 +1418,8 @@ def geo_osm_way_tiling(spark, sf):
     from coords_spark.fixtures import gen_nodes, gen_ways
     from coords_spark.operators import geometry, resolve, tiling
 
-    nodes = spark.createDataFrame(gen_nodes(4000).to_pandas())
-    ways = spark.createDataFrame(gen_ways(600, 4000).to_pandas())
+    nodes = spark.createDataFrame(gen_nodes(4000))
+    ways = spark.createDataFrame(gen_ways(600, 4000))
     resolved = resolve.resolve_ways(ways, nodes)
     g = geometry.with_geometry_cell(geometry.with_envelope(resolved))
     g = g.withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
@@ -1331,6 +1432,34 @@ def geo_osm_way_tiling(spark, sf):
     )
 
 
+@_q("geo_lod_tables", None)
+def geo_lod_tables(spark, sf):
+    """T7 as a query: per-zoom LOD tables (Douglas-Peucker simplification
+    at the lod pixel tolerance + min-pixel-size feature drop) built from
+    resolved OSM-like ways; returns per-lod feature/vertex counts. Golden
+    expected rows are pinned by tests against an independent scalar DP
+    (tests/oracle)."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve
+
+    nodes = spark.createDataFrame(gen_nodes(4000))
+    ways = spark.createDataFrame(gen_ways(600, 4000))
+    resolved = resolve.resolve_ways(ways, nodes)
+    lods = geometry.build_lod_tables(resolved, [6, 10, 14])
+    out = None
+    for lod, df in sorted(lods.items()):
+        agg = (
+            df.agg(
+                F.count("*").cast("long").alias("n_features"),
+                F.sum(F.size("pts")).cast("long").alias("n_vertices"),
+            )
+            .withColumn("lod", F.lit(lod))
+            .select("lod", "n_features", "n_vertices")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("lod")
+
+
 @_q("geo_multipolygon_assembly", None)
 def geo_multipolygon_assembly(spark, sf):
     """T8 as a query: assemble multipolygons from relation member arcs;
@@ -1339,8 +1468,8 @@ def geo_multipolygon_assembly(spark, sf):
     from coords_spark.operators import multipolygon, resolve
 
     relations, ring_ways = gen_relations(60)
-    rel_df = spark.createDataFrame(relations.to_pandas())
-    rw_df = spark.createDataFrame(ring_ways.to_pandas()).select(
+    rel_df = spark.createDataFrame(relations)
+    rw_df = spark.createDataFrame(ring_ways).select(
         F.col("id").alias("way_id"), "pts"
     )
     members = resolve.resolve_relation_members(rel_df, rw_df)

@@ -83,6 +83,47 @@ def minhash_lsh_candidates(
     )
 
 
+def bucketed_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                      bucket_cols: tuple[str, ...] = ("lang", "source")) -> DataFrame:
+    """(doc_id, *bucket_cols, sh): distinct n-word shingles per doc,
+    carrying the natural bucket keys."""
+    words = _WORDS.format(c=text_col)
+    parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
+    return (
+        df.selectExpr("*", f"{words} as words")
+        .selectExpr(
+            "doc_id",
+            *bucket_cols,
+            f"explode(CASE WHEN size(words) >= {n} THEN transform(sequence(0, size(words) - {n}), "
+            f"i -> concat_ws(' ', {parts})) ELSE array() END) as sh",
+        )
+        .distinct()
+    )
+
+
+def ngram_candidates(
+    sh: DataFrame, df_cap: int = 32, bucket_cols: tuple[str, ...] = ("lang", "source")
+) -> DataFrame:
+    """Near-dup candidate pairs from a bucketed shingle table: the self-join
+    runs only on DISCRIMINATIVE shingles (document frequency <= df_cap
+    within the bucket), so one ultra-frequent shingle can never make the
+    join quadratic. A pair is missed only if every shared shingle is
+    frequent — the documented recall trade-off of DF capping."""
+    keys = [*bucket_cols, "sh"]
+    rare_keys = (
+        sh.groupBy(*keys).agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).drop("df")
+    )
+    rare = sh.join(rare_keys, keys)
+    a = rare.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(k).alias(f"_{k}2") for k in keys]
+    )
+    cond = F.col("doc_a") < F.col("doc_b")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_{k}2"))
+    return a.join(b, cond).select("doc_a", "doc_b").distinct()
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame, threshold: float, text_col: str = "text") -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (verification stage)."""
     sh = shingles(df, text_col)
@@ -153,8 +194,18 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text
     n_blocks = max_hamming + 1
     if n_blocks > 32:
         raise ValueError("max_hamming > 31 makes blocks narrower than 2 bits")
-    width = (64 + n_blocks - 1) // n_blocks
-    mask = (1 << width) - 1
+    # Partition the 64 bits into EXACTLY n_blocks non-empty blocks of
+    # near-equal width (64 = n_blocks*base + rem; first `rem` blocks get an
+    # extra bit). A uniform ceil-width split would leave high blocks past
+    # bit 63 degenerate (JVM shifts wrap mod 64) — those blocks duplicate
+    # low-bit slices AND shrink the effective block count below the
+    # pigeonhole requirement of max_hamming+1 real blocks.
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if b < rem else base for b in range(n_blocks)]
+    starts = [sum(widths[:b]) for b in range(n_blocks)]
+    masks = [(1 << w) - 1 for w in widths]
+    starts_sql = ",".join(str(s) for s in starts)
+    masks_sql = ",".join(str(m) for m in masks)
     d = df.select("doc_id", simhash64_col(F.col(text_col)).alias("sh"))
     blocks = d.select(
         "doc_id",
@@ -162,7 +213,8 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), b -> struct(b as blk, "
-                f"(shiftrightunsigned(sh, b * {width}) & {mask}) as bv))"
+                f"(shiftrightunsigned(sh, element_at(array({starts_sql}), b + 1)) "
+                f"& element_at(array({masks_sql}), b + 1)) as bv))"
             )
         ).alias("s"),
     ).select("doc_id", "sh", F.col("s.blk").alias("blk"), F.col("s.bv").alias("bv"))

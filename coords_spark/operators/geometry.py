@@ -96,9 +96,13 @@ def build_lod_tables(
         # feature size threshold in int32 degree units: one pixel at `lod`
         # spans ~ 360 deg / (2^lod * 256 px) horizontally
         px_deg_1e7 = int(3_600_000_000 / ((1 << lod) * 256))
+        # cast before subtracting: a dateline-spanning envelope's extent
+        # (up to 3.6e9 units) overflows int32 under ANSI arithmetic
         keep = (
-            (F.col("env_maxlon") - F.col("env_minlon") >= min_px * px_deg_1e7)
-            | (F.col("env_maxlat") - F.col("env_minlat") >= min_px * px_deg_1e7)
+            (F.col("env_maxlon").cast("long") - F.col("env_minlon").cast("long")
+             >= min_px * px_deg_1e7)
+            | (F.col("env_maxlat").cast("long") - F.col("env_minlat").cast("long")
+               >= min_px * px_deg_1e7)
         )
         out[lod] = (
             df.filter(keep)

@@ -15,6 +15,9 @@ codec raises NotImplementedError.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -24,6 +27,20 @@ from pyspark.sql import functions as F
 from coords_spark.kernels import codec, phash
 
 STUB_FORMATS = ("jpeg", "webp", "avif")
+
+# A malformed payload (truncated buffer, bad signature, corrupt zlib
+# stream, wrong length for the declared w*h) must flag the ROW, never
+# abort the job — these operators exist to find such rows.
+DECODE_ERRORS = (
+    NotImplementedError,  # stub formats (jpeg/webp: no codec lib here)
+    ValueError,  # frombuffer/reshape size mismatch, bad magic
+    zlib.error,  # corrupt deflate stream (pngz)
+    struct.error,  # truncated header
+    IndexError,
+    OverflowError,
+    KeyError,  # unknown fmt string
+    TypeError,  # None payload
+)
 
 
 def _extended_schema(df: DataFrame, extra: list[tuple[str, str]]):
@@ -44,11 +61,14 @@ def _decode(row_bytes: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     return codec.decode_image(row_bytes, fmt, w, h)
 
 
-def with_payload_verification(images: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
+def with_payload_verification(
+    images: DataFrame, psnr_floor: float = 40.0, max_hamming_lossy: int = 8
+) -> DataFrame:
     """Adds (psnr, phash_rec, payload_ok): decodes every payload, recomputes
-    the blockhash, and checks the per-row invariant — lossless formats must
-    roundtrip exactly (psnr inf), lossy ones >= psnr_floor, and the stored
-    phash must equal the recomputed one (BASELINE.json:15)."""
+    the blockhash FROM THE DECODED PIXELS, and checks the per-row invariant
+    — lossless formats must roundtrip exactly (psnr inf, hash equal), lossy
+    ones >= psnr_floor with the decoded-pixel hash within max_hamming_lossy
+    of the stored phash (BASELINE.json:15)."""
 
     # never .add() onto df.schema — it mutates the DataFrame's cached schema
     @F.pandas_udf("psnr double, phash_rec long, payload_ok boolean")
@@ -62,13 +82,18 @@ def with_payload_verification(images: DataFrame, psnr_floor: float = 40.0) -> Da
         for i in range(n):
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
-            except NotImplementedError:
+            except DECODE_ERRORS:
                 psnrs[i], hashes[i] = float("nan"), 0
                 continue
             ref = phash.procedural_image(iid.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
             psnrs[i] = codec.psnr(ref, img)
-            hashes[i] = phash.blockhash64(img if codec.is_lossless(fmt.iloc[i]) else ref)
-            ok[i] = psnrs[i] >= psnr_floor and hashes[i] == int(ph.iloc[i])
+            hashes[i] = phash.blockhash64(img)
+            if codec.is_lossless(fmt.iloc[i]):
+                hash_ok = hashes[i] == int(ph.iloc[i])
+            else:
+                ham = bin((hashes[i] ^ int(ph.iloc[i])) & ((1 << 64) - 1)).count("1")
+                hash_ok = ham <= max_hamming_lossy
+            ok[i] = psnrs[i] >= psnr_floor and hash_ok
         return pd.DataFrame(
             {
                 "psnr": np.where(np.isinf(psnrs), 999.0, psnrs),
@@ -106,7 +131,7 @@ def with_decode_check_pandas(images: DataFrame, max_hamming_lossy: int = 8) -> D
         for i in range(n):
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
-            except NotImplementedError:
+            except DECODE_ERRORS:
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmt.iloc[i]):
@@ -141,7 +166,7 @@ def with_decode_check_arrow(images: DataFrame, max_hamming_lossy: int = 8) -> Da
         for i in range(n):
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
-            except NotImplementedError:
+            except DECODE_ERRORS:
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):
@@ -192,7 +217,7 @@ def with_decode_check_chunk(
         for i in range(n):
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
-            except NotImplementedError:
+            except DECODE_ERRORS:
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):

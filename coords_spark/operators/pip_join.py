@@ -11,7 +11,8 @@ Plan shape (broadcast-friendly, scale-safe):
   2. broadcast equi-join: images match on (level, ancestor(cell, level)) —
      one join per distinct cover level (few), unioned;
   3. exact refine: vectorized numpy ray-cast per candidate pair inside an
-     Arrow-batched pandas UDF (polygon rings travel via closure broadcast).
+     Arrow-batched pandas UDF (polygon rings travel as a managed
+     sparkContext.broadcast variable — once per executor, memory-tracked).
 
 No cross join ever materializes; candidate cardinality is bounded by cover
 selectivity. Refinement is exact, so cover-level choice affects cost only.
@@ -82,6 +83,10 @@ def pip_enrich(
         pd.DataFrame(cover_rows), "poly_id long, level int, cover_cell long"
     )
     levels = sorted({r["level"] for r in cover_rows})
+    # Ship the ring payload as a managed broadcast variable, NOT a task
+    # closure: torrent-distributed once per executor and memory-tracked,
+    # so a large polygon set doesn't ride along with every task launch.
+    rings_bc = spark.sparkContext.broadcast(rings_by_id)
 
     # candidates: one broadcast equi-join per distinct cover level
     pts = points.select(point_key, "lat", "lon", "cell")
@@ -96,15 +101,17 @@ def pip_enrich(
 
     @F.pandas_udf(BooleanType())
     def _inside(lat: pd.Series, lon: pd.Series, pid: pd.Series) -> pd.Series:
+        rings = rings_bc.value
         la = lat.to_numpy()
         lo = lon.to_numpy()
+        pids = pid.to_numpy()
         ux, uy = mercator.latlon_i32_to_unit(la, lo)
         px = ux * zcurve.GRID
         py = uy * zcurve.GRID
         out = np.zeros(len(la), dtype=bool)
-        for p in np.unique(pid.to_numpy()):
-            sel = pid.to_numpy() == p
-            ox, oy, inners = rings_by_id[int(p)]
+        for p in np.unique(pids):
+            sel = pids == p
+            ox, oy, inners = rings[int(p)]
             out[sel] = pip.points_in_polygon(px[sel], py[sel], ox, oy, inners)
         return pd.Series(out)
 

@@ -142,6 +142,13 @@ class IcepickTable:
             base = f"part-{self._next_file_seq() + i:06d}-{os.path.basename(src)}"
             dst = os.path.join(self.data_dir, base)
             shutil.move(src, dst)
+            # durability: the manifest must never reference pages the kernel
+            # hasn't persisted — fsync the data file before it is listed
+            fd = os.open(dst, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
             entries.append(
                 {
                     "path": os.path.join("data", base),
@@ -153,6 +160,8 @@ class IcepickTable:
                     **(extra_stats or {}),
                 }
             )
+        if entries:
+            self._fsync_dir(self.data_dir)
         man = self.current_manifest()
         man["version"] += 1
         man["files"] = man["files"] + entries

@@ -53,6 +53,26 @@ def test_payload_verification_detects_corruption(spark, imgs):
     assert bad > 0
 
 
+def test_malformed_payload_flags_row_not_job(spark, imgs):
+    """A truncated buffer / empty payload / garbage stream must mark the ROW
+    payload_ok=False — never raise out of the UDF and kill the job."""
+    mangled = imgs.limit(12).withColumn(
+        "_r", F.monotonically_increasing_id() % 3
+    ).withColumn(
+        "bytes",
+        F.when(F.col("_r") == 0, F.expr("substring(bytes, 1, 5)"))  # truncated
+        .when(F.col("_r") == 1, F.lit(b""))  # empty
+        .otherwise(F.lit(b"\x00\xff garbage not a codec stream")),
+    ).drop("_r")
+    v = images.with_payload_verification(mangled)
+    rows = v.select("payload_ok").collect()  # must not raise
+    assert all(not r["payload_ok"] for r in rows)
+
+    c = images.with_decode_check(mangled)
+    crows = c.select("decode_ok").collect()
+    assert all(not r["decode_ok"] for r in crows)
+
+
 def test_pixel_features_shape(spark, imgs):
     f = images.with_pixel_features(imgs.limit(20), grid=4)
     rows = f.select("features").collect()
@@ -130,15 +150,28 @@ def test_simhash_near_dups(spark, docs):
     assert sum(hams) / len(hams) <= 10
 
 
+def _simhash_blocks(max_h):
+    """The variable-width split used by simhash_near_dups: 64 bits into
+    exactly max_h+1 non-empty blocks (mirrors the SQL expression)."""
+    n_blocks = max_h + 1
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if b < rem else base for b in range(n_blocks)]
+    starts = [sum(widths[:b]) for b in range(n_blocks)]
+    return [(s, (1 << w) - 1) for s, w in zip(starts, widths)]
+
+
 def test_simhash_block_lsh_complete_for_radius():
-    """Pigeonhole completeness of the adaptive block split: any pair within
-    max_hamming bits must share at least one block (pure math check)."""
+    """Pigeonhole completeness of the variable-width block split: any pair
+    within max_hamming bits must share at least one block. Shifts emulate
+    the JVM (mod 64) so a degenerate past-bit-63 block can't fake a match
+    the engine wouldn't see."""
     import random
 
     rnd = random.Random(42)
-    for max_h in (3, 5, 8):
-        n_blocks = max_h + 1
-        width = (64 + n_blocks - 1) // n_blocks
+    for max_h in (3, 5, 8, 15):
+        blocks = _simhash_blocks(max_h)
+        assert len(blocks) == max_h + 1
+        assert sum(m.bit_length() for _, m in blocks) == 64  # full partition
         for _ in range(200):
             a = rnd.getrandbits(64)
             flips = rnd.sample(range(64), rnd.randint(0, max_h))
@@ -146,11 +179,53 @@ def test_simhash_block_lsh_complete_for_radius():
             for f in flips:
                 b ^= 1 << f
             shared = any(
-                ((a >> (i * width)) & ((1 << width) - 1))
-                == ((b >> (i * width)) & ((1 << width) - 1))
-                for i in range(n_blocks)
+                ((a >> (s % 64)) & m) == ((b >> (s % 64)) & m) for s, m in blocks
             )
             assert shared, (max_h, flips)
+
+
+def test_simhash_old_uniform_split_was_incomplete():
+    """Regression pin: the previous uniform ceil-width split left block 8
+    past bit 63 for max_hamming=8 (JVM shift wraps to a duplicate of block
+    0), so only 8 real blocks covered 8 allowed differences — one flip per
+    block evades every bucket. The adversarial pair below proves it."""
+    max_h = 8
+    width = (64 + max_h) // (max_h + 1)  # old: ceil(64/9) = 8
+    a = 0
+    b = sum(1 << (i * 8) for i in range(8))  # one flipped bit in each 8-bit block
+    old_shared = any(
+        ((a >> ((i * width) % 64)) & ((1 << width) - 1))
+        == ((b >> ((i * width) % 64)) & ((1 << width) - 1))
+        for i in range(max_h + 1)
+    )
+    assert not old_shared  # old scheme would MISS this hamming-8 pair
+    new_shared = any(
+        ((a >> s) & m) == ((b >> s) & m) for s, m in _simhash_blocks(max_h)
+    )
+    assert new_shared  # variable-width split catches it
+
+
+def test_ngram_candidates_bounded_under_dominant_bucket(spark):
+    """One ultra-frequent shingle shared by every doc in a dominant
+    (lang, source) bucket must NOT generate O(n^2) candidates: the DF cap
+    drops it from candidate generation, leaving only pairs that share a
+    discriminative shingle."""
+    from coords_spark.operators import dedup
+
+    n = 80
+    rows = []
+    for i in range(n):
+        # every doc opens with the same 3-gram; tails are unique
+        rows.append((i, "en", "web", f"alpha beta gamma tail{i}a tail{i}b tail{i}c tail{i}d"))
+    # planted near-dup pair sharing a long rare phrase
+    rows.append((900, "en", "web", "alpha beta gamma rare one two three four five six"))
+    rows.append((901, "en", "web", "alpha beta gamma rare one two three four five seven"))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    sh = dedup.bucketed_shingles(d, n=3)
+    cand = dedup.ngram_candidates(sh, df_cap=32).collect()
+    # without the cap this would be C(82,2) = 3321 candidates
+    assert len(cand) == 1
+    assert (cand[0]["doc_a"], cand[0]["doc_b"]) == (900, 901)
 
 
 def test_embedding_near_dups(spark, emb):

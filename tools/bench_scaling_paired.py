@@ -79,8 +79,20 @@ def main() -> None:
     points = ensure_images(args.rows, cache, files=128)
     ctl = tempfile.mkdtemp(prefix="paired_ctl_")
 
+    data_mb = max(
+        1,
+        sum(
+            os.path.getsize(os.path.join(points, f))
+            for f in os.listdir(points)
+            if f.endswith(".parquet")
+        )
+        // (1024 * 1024),
+    )
+
     def spawn(cpus: int) -> subprocess.Popen:
-        sz = max(4, 968 // (8 * cpus))
+        # target ~8 tasks per core so stragglers amortize without drowning
+        # in per-task overhead; derived from the REAL dataset size
+        sz = max(4, data_mb // (8 * cpus))
         env = dict(
             os.environ,
             COORDS_REPO=REPO,
