@@ -1496,3 +1496,20 @@ def geo_chunk_rollup(spark, sf):
         .orderBy("chunk_id")
     )
 
+
+
+# ===========================================================================
+# Golden twins: queries with no natural ANSI-SQL formulation get a VALUES
+# oracle computed by the independent scalar implementations in
+# tools/gen_goldens.py (minicoords + scalar ray-cast/DP/LSH + XXH64 kernel)
+# at sf=0.01, the driver's correctness scale. Regenerate with
+# `python tools/gen_goldens.py` after any semantic change.
+# ===========================================================================
+try:
+    from coords_spark.goldens import GOLDEN_SQL as _GOLDEN_SQL
+
+    for _gname, _gsql in _GOLDEN_SQL.items():
+        if _gname in QUERIES and _gname not in ORACLE_SQL:
+            ORACLE_SQL[_gname] = _gsql
+except ImportError:  # goldens not generated yet
+    pass

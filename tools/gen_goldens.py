@@ -1,0 +1,564 @@
+"""Generate golden oracle SQL for the driver queries that have no natural
+ANSI-SQL twin (spatial engine + LSH dedup + payload verification).
+
+Each golden is computed by an INDEPENDENT implementation — the minicoords
+scalar oracle (tests/oracle/minicoords.py), scalar ray-casting / DP /
+LSH reimplementations in this file, and the XXH64 kernel (parity-tested
+against F.xxhash64) — never by running the Spark query itself. The results
+are embedded as VALUES literals into coords_spark/goldens.py, which
+driver_surface registers as oracle_sql entries, so the driver's hash gate
+pins these queries exactly.
+
+Validity: goldens over sf-dependent tables (orders/supplier/documents/
+embeddings) are computed at sf=0.01 — the driver's correctness scale.
+Fixture-driven queries (ways/relations/polygons/images) are sf-independent.
+
+Regenerate after any semantic change:  python tools/gen_goldens.py
+Then re-check:                         python tools/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import zlib
+
+import numpy as np
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from coords_spark.kernels import xxh64  # noqa: E402
+from coords_spark.kernels.phash import COAST_LAT, COAST_LON, HOTSPOTS, anchor, splitmix64  # noqa: E402
+from oracle import minicoords as mc  # noqa: E402
+
+SF_DIR = os.environ.get("GOLDEN_SF_DIR", "/root/testdata/sf0.01")
+GRID = mc.GRID
+BASE_LEVEL = 12
+
+
+# --------------------------------------------------------------------------
+# shared independent helpers
+# --------------------------------------------------------------------------
+
+
+def _unit_xy(lat_i32: np.ndarray, lon_i32: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized mercator unit coords — the definitional CRS formula
+    (identical to minicoords.mercator_unit, vectorized for speed)."""
+    lat = lat_i32.astype(np.float64) * 1e-7
+    lon = lon_i32.astype(np.float64) * 1e-7
+    ux = (lon + 180.0) / 360.0
+    latc = np.clip(lat, -mc.MAX_LAT, mc.MAX_LAT)
+    s = np.sin(np.radians(latc))
+    uy = 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)
+    eps = 2.220446049250313e-16
+    return np.clip(ux, 0.0, 1.0 - eps), np.clip(uy, 0.0, 1.0 - eps)
+
+
+def _grid_int(ux: np.ndarray, uy: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    gx = np.minimum((ux * GRID).astype(np.int64), GRID - 1)
+    gy = np.minimum((uy * GRID).astype(np.int64), GRID - 1)
+    return gx, gy
+
+
+def _points_from_table(path: str, key_col: str) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """(key string, lat_i32, lon_i32) via the spec pipeline:
+    phash = xxhash64(key_long), anchor(phash) -> lat/lon."""
+    keys = pq.read_table(path, columns=[key_col]).column(key_col).to_numpy()
+    ph = xxh64.hash_long(np.asarray(keys, dtype=np.int64))
+    lat, lon = anchor(ph)
+    return [str(int(k)) for k in keys], lat.astype(np.int64), lon.astype(np.int64)
+
+
+def _crossings(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray-cast (independent of kernels/pip.py): points
+    (px, py) against ring (rx, ry) (closed implicitly)."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    n = len(rx)
+    for i in range(n):
+        x1, y1 = rx[i], ry[i]
+        x2, y2 = rx[(i + 1) % n], ry[(i + 1) % n]
+        cond = (y1 > py) != (y2 > py)
+        if not cond.any():
+            continue
+        xint = (x2 - x1) * (py - y1) / ((y2 - y1) if y2 != y1 else 1.0) + x1
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def _poly_rings_grid(poly: dict) -> tuple[tuple, list]:
+    def ring(pts):
+        la = np.asarray([p["lat"] for p in pts], dtype=np.int64)
+        lo = np.asarray([p["lon"] for p in pts], dtype=np.int64)
+        ux, uy = _unit_xy(la, lo)
+        return ux * GRID, uy * GRID
+
+    return ring(poly["outer"]), [ring(h) for h in (poly["inners"] or [])]
+
+
+def _pip_pairs(px: np.ndarray, py: np.ndarray, polys: list[dict]) -> dict[int, np.ndarray]:
+    """{poly_id: boolean mask over points} (outer minus holes)."""
+    out = {}
+    for poly in polys:
+        (ox, oy), inners = _poly_rings_grid(poly)
+        x0, x1 = ox.min(), ox.max()
+        y0, y1 = oy.min(), oy.max()
+        cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+        idx = np.nonzero(cand)[0]
+        mask = np.zeros(px.shape[0], dtype=bool)
+        if idx.size:
+            m = _crossings(px[idx], py[idx], ox, oy)
+            for ix, iy in inners:
+                m &= ~_crossings(px[idx], py[idx], ix, iy)
+            mask[idx] = m
+        out[int(poly["poly_id"])] = mask
+    return out
+
+
+# --------------------------------------------------------------------------
+# per-query golden computations
+# --------------------------------------------------------------------------
+
+
+def g_geo_chunk_rollup():
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    gx, gy = _grid_int(ux, uy)
+    cells = [mc.cell_id(int(x), int(y), BASE_LEVEL) for x, y in zip(gx, gy)]
+    splits = mc.split_set([(c, 128) for c in cells], 64 * 1024, BASE_LEVEL)
+    agg: dict[int, list] = {}
+    for c in cells:
+        ch = mc.assign_chunk(c, splits, BASE_LEVEL)
+        a = agg.setdefault(ch, [0, c, c])
+        a[0] += 1
+        a[1] = min(a[1], c)
+        a[2] = max(a[2], c)
+    rows = [(ch, n, cmin, cmax) for ch, (n, cmin, cmax) in sorted(agg.items())]
+    return ["chunk_id", "n_points", "cell_min", "cell_max"], rows, {}
+
+
+def g_geo_pip_enrich():
+    from coords_spark.fixtures import gen_admin_polygons
+
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    px, py = ux * GRID, uy * GRID
+    polys = gen_admin_polygons(50).to_pylist()
+    masks = _pip_pairs(px, py, polys)
+    rows = [(pid, int(m.sum())) for pid, m in sorted(masks.items()) if m.any()]
+    return ["poly_id", "n_points"], rows, {}
+
+
+def g_geo_coastline_classify():
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    px, py = ux * GRID, uy * GRID
+    ring = {
+        "poly_id": 1,
+        "outer": [
+            {"lat": int(round(la * 1e7)), "lon": int(round(lo * 1e7))}
+            for la, lo in zip(COAST_LAT, COAST_LON)
+        ],
+        "inners": [],
+    }
+    mask = _pip_pairs(px, py, [ring])[1]
+    n_in = int(mask.sum())
+    rows = [(False, len(keys) - n_in), (True, n_in)]
+    return ["on_land", "n"], rows, {"on_land": "BOOLEAN"}
+
+
+def g_geo_knn_ring(k: int = 10):
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    gx, gy = _grid_int(ux, uy)
+    queries = [
+        (f"q{i}", int(la * 1e7), int(lo * 1e7)) for i, (la, lo) in enumerate(HOTSPOTS[:3])
+    ] + [("q_sparse", int(-55.0 * 1e7), int(100.0 * 1e7))]
+    rows = []
+    for qid, qla, qlo in queries:
+        qux, quy = _unit_xy(np.asarray([qla]), np.asarray([qlo]))
+        qgx, qgy = _grid_int(qux, quy)
+        d = np.hypot((gx - qgx[0]).astype(np.float64), (gy - qgy[0]).astype(np.float64))
+        order = sorted(range(len(keys)), key=lambda i: (d[i], keys[i]))[:k]
+        for r, i in enumerate(order, start=1):
+            rows.append((qid, r, keys[i], float(d[i])))
+    return ["qid", "rank", "image_id", "dist_units"], rows, {
+        "qid": "VARCHAR", "image_id": "VARCHAR", "dist_units": "DOUBLE"}
+
+
+def _chunk_set_for(path: str, key_col: str, max_bytes: int) -> set[int]:
+    keys, lat, lon = _points_from_table(path, key_col)
+    ux, uy = _unit_xy(lat, lon)
+    gx, gy = _grid_int(ux, uy)
+    cells = [mc.cell_id(int(x), int(y), BASE_LEVEL) for x, y in zip(gx, gy)]
+    splits = mc.split_set([(c, 256) for c in cells], max_bytes, BASE_LEVEL)
+    return {mc.assign_chunk(c, splits, BASE_LEVEL) for c in cells}
+
+
+def g_geo_raster_vector_align():
+    raster = _chunk_set_for(f"{SF_DIR}/orders.parquet", "o_orderkey", 16 * 1024)
+    vector = _chunk_set_for(f"{SF_DIR}/supplier.parquet", "s_suppkey", 64 * 1024)
+    pairs = set()
+    vlevels = {mc.cell_level(v) for v in vector}
+    rlevels = {mc.cell_level(r) for r in raster}
+    for lv in vlevels:
+        vs = {v for v in vector if mc.cell_level(v) == lv}
+        for r in raster:
+            if mc.cell_level(r) >= lv and mc.ancestor(r, lv) in vs:
+                pairs.add((mc.ancestor(r, lv), r))
+    for lr in rlevels:
+        rs = {r for r in raster if mc.cell_level(r) == lr}
+        for v in vector:
+            if mc.cell_level(v) > lr and mc.ancestor(v, lr) in rs:
+                pairs.add((v, mc.ancestor(v, lr)))
+    return ["v_chunk", "r_chunk"], sorted(pairs), {}
+
+
+def _resolved_ways():
+    from coords_spark.fixtures import gen_nodes, gen_ways
+
+    nt = gen_nodes(4000).to_pylist()
+    wt = gen_ways(600, 4000).to_pylist()
+    nodes = {n["id"]: (n["lat"], n["lon"]) for n in nt}
+    resolved = mc.resolve_ways(nodes, [(w["id"], list(w["refs"])) for w in wt])
+    return resolved  # way_id -> [(node_id, lat, lon)]
+
+
+def g_geo_osm_way_tiling():
+    resolved = _resolved_ways()
+    items = []
+    for wid, pts in resolved.items():
+        latlon = [(la, lo) for _nid, la, lo in pts]
+        cell = mc.way_envelope_cell(latlon)
+        items.append((cell, len(latlon)))
+    splits = mc.split_set(
+        [(c, n * 8 + 64) for c, n in items], 64 * 1024, BASE_LEVEL
+    )
+    agg: dict[int, list] = {}
+    for c, n in items:
+        ch = mc.assign_chunk(c, splits, BASE_LEVEL)
+        a = agg.setdefault(ch, [0, 0])
+        a[0] += 1
+        a[1] += n
+    rows = [(ch, a[0], a[1]) for ch, a in sorted(agg.items())]
+    return ["chunk_id", "n_ways", "n_vertices"], rows, {}
+
+
+def g_geo_multipolygon_assembly():
+    from coords_spark.fixtures import gen_relations
+
+    relations, ring_ways = (t.to_pylist() for t in gen_relations(60))
+    way_pts = {w["id"]: [(p["lat"], p["lon"]) for p in w["pts"]] for w in ring_ways}
+    rows = []
+    for rel in relations:
+        arcs = []
+        for m in rel["members"]:
+            if m["mtype"] == 1 and m["ref"] in way_pts:
+                arcs.append(way_pts[m["ref"]])
+        if not arcs:
+            continue
+        polys = mc.oracle_build_polygons(arcs)
+        if not polys:
+            continue
+        n_polys = len(polys)
+        outer_v = sum(len(outer) for outer, _h in polys)
+        n_holes = sum(len(h) for _o, h in polys)
+        rows.append((rel["id"], n_polys, outer_v, n_holes))
+    return ["relation_id", "n_polygons", "outer_vertices", "n_holes"], sorted(rows), {}
+
+
+def _dp_keep(x: list[float], y: list[float], eps: float) -> list[bool]:
+    """Independent scalar Douglas-Peucker (recursive; first-max split like
+    the engine's kernel — that tie-break IS part of the spec)."""
+    n = len(x)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+
+    def rec(i: int, j: int) -> None:
+        if j <= i + 1:
+            return
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg = math.hypot(dx, dy)
+        best, bd = -1, -1.0
+        for m in range(i + 1, j):
+            if seg == 0.0:
+                d = math.hypot(x[m] - x[i], y[m] - y[i])
+            else:
+                d = abs(dx * (y[i] - y[m]) - (x[i] - x[m]) * dy) / seg
+            if d > bd:
+                best, bd = m, d
+        if bd > eps:
+            keep[best] = True
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def g_geo_lod_tables(lods=(6, 10, 14), min_px: float = 2.0):
+    resolved = _resolved_ways()
+    ways = []
+    for wid, pts in resolved.items():
+        la = np.asarray([p[1] for p in pts], dtype=np.int64)
+        lo = np.asarray([p[2] for p in pts], dtype=np.int64)
+        ux, uy = _unit_xy(la, lo)
+        ways.append((la, lo, ux * GRID, uy * GRID))
+    rows = []
+    for lod in sorted(lods):
+        eps = 1.0 * float(1 << (26 - lod)) / 256.0
+        px_deg = int(3_600_000_000 / ((1 << lod) * 256))
+        n_feat = 0
+        n_vert = 0
+        for la, lo, gx, gy in ways:
+            if not (
+                int(lo.max()) - int(lo.min()) >= min_px * px_deg
+                or int(la.max()) - int(la.min()) >= min_px * px_deg
+            ):
+                continue
+            n_feat += 1
+            if len(gx) <= 2:
+                n_vert += len(gx)
+            else:
+                n_vert += sum(_dp_keep(list(gx), list(gy), eps))
+        rows.append((lod, n_feat, n_vert))
+    return ["lod", "n_features", "n_vertices"], rows, {}
+
+
+def g_payload_decode_verify(n: int = 400):
+    """Regression pin (kernel-computed): fmt-level counts of the 400-image
+    verification batch. Both fixture formats are lossless, so payload_ok
+    requires exact hash equality and psnr is the 999.0 sentinel."""
+    from coords_spark.fixtures import gen_images
+    from coords_spark.kernels import codec, phash as ph
+
+    t = gen_images(n).to_pylist()
+    agg: dict[str, list] = {}
+    for r in t:
+        img = codec.decode_image(r["bytes"], r["fmt"], r["w"], r["h"])
+        ref = ph.procedural_image(r["image_id"], r["w"], r["h"])
+        p = codec.psnr(ref, img)
+        hrec = ph.blockhash64(img)
+        if codec.is_lossless(r["fmt"]):
+            hok = hrec == r["phash"]
+        else:
+            hok = bin((hrec ^ r["phash"]) & ((1 << 64) - 1)).count("1") <= 8
+        pv = 999.0 if math.isinf(p) else p
+        ok = pv >= 40.0 and hok
+        a = agg.setdefault(r["fmt"], [0, 0, float("inf")])
+        a[0] += 1
+        a[1] += int(ok)
+        a[2] = min(a[2], pv)
+    rows = [(f, a[0], a[1], round(a[2], 2)) for f, a in sorted(agg.items())]
+    return ["fmt", "n", "n_ok", "min_psnr"], rows, {"fmt": "VARCHAR", "min_psnr": "DOUBLE"}
+
+
+def _doc_shingles() -> dict[int, set]:
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    out = {}
+    for d in docs:
+        words = [w for w in (d["text"] or "").split() if w]
+        out[int(d["doc_id"])] = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        } if len(words) >= 3 else set()
+    return out
+
+
+def g_dedup_minhash_lsh_pairs(n_bands: int = 8, rows_per_band: int = 2, threshold: float = 0.3):
+    sh = _doc_shingles()
+    n_hashes = n_bands * rows_per_band
+    seeds = [xxh64.hash_bytes(str(i).encode()) & 0xFFFFFFFFFFFFFFFF for i in range(n_hashes)]
+    hv_cache: dict[str, list[int]] = {}
+
+    def shingle_hashes(s: str) -> list[int]:
+        if s not in hv_cache:
+            b = s.encode()
+            hv_cache[s] = [xxh64.hash_bytes(b, seed=sd) for sd in seeds]
+        return hv_cache[s]
+
+    buckets: dict[tuple, list[int]] = {}
+    for doc, shs in sh.items():
+        if not shs:
+            continue
+        mins = [min(shingle_hashes(s)[i] for s in shs) for i in range(n_hashes)]
+        for band in range(n_bands):
+            pair = mins[band * rows_per_band : (band + 1) * rows_per_band]
+            sig = (band, tuple(sorted(str(v) for v in pair)))
+            buckets.setdefault(sig, []).append(doc)
+    cand = set()
+    for docs_in in buckets.values():
+        ds = sorted(set(docs_in))
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    rows = []
+    for a, b in sorted(cand):
+        na, nb = len(sh[a]), len(sh[b])
+        ncom = len(sh[a] & sh[b])
+        denom = na + nb - ncom
+        if denom and ncom / denom >= threshold:
+            rows.append((a, b, ncom / denom))
+    return ["doc_a", "doc_b", "jaccard"], rows, {"jaccard": "DOUBLE"}
+
+
+def _simhash64(text: str) -> int:
+    toks = [w for w in (text or "").lower().split() if w]
+    if not toks:
+        return 0
+    hs = splitmix64(np.asarray([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    sim = np.uint64(0)
+    for b in np.nonzero(votes > 0)[0]:
+        sim |= np.uint64(1) << np.uint64(b)
+    return int(np.uint64(sim).view(np.int64))
+
+
+def g_dedup_simhash_pairs(max_hamming: int = 8):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    fps = {int(d["doc_id"]): _simhash64(d["text"]) for d in docs}
+    n_blocks = max_hamming + 1
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1 if b < rem else base for b in range(n_blocks)]
+    starts = [sum(widths[:b]) for b in range(n_blocks)]
+    buckets: dict[tuple, list[int]] = {}
+    for doc, fp in fps.items():
+        u = fp & 0xFFFFFFFFFFFFFFFF
+        for b, (s, w) in enumerate(zip(starts, widths)):
+            buckets.setdefault((b, (u >> s) & ((1 << w) - 1)), []).append(doc)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(set(ds))
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    rows = []
+    for a, b in sorted(cand):
+        ham = bin((fps[a] ^ fps[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if ham <= max_hamming:
+            rows.append((a, b, ham))
+    return ["doc_a", "doc_b", "hamming"], rows, {}
+
+
+def g_embedding_ann_topk(k: int = 10, n_planes: int = 8, seed: int = 7, probe_hamming: int = 2):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    qv = mat[list(ids).index(0)]
+    dim = mat.shape[1]
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    planes = u.reshape(n_planes, dim) * 2.0 - 1.0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    sigs = ((mat @ planes.T) > 0) @ weights
+    qsig = int(((qv @ planes.T) > 0) @ weights)
+    probes = {qsig}
+    for i in range(n_planes):
+        probes.add(qsig ^ (1 << i))
+        for j in range(i + 1, n_planes):
+            probes.add(qsig ^ (1 << i) ^ (1 << j))
+    cand = np.isin(sigs, list(probes))
+    # cosine exactly as the engine's fold: sequential left-to-right sums
+    rows = []
+    qn = math.sqrt(math.fsum(float(x) * float(x) for x in qv))
+    for i in np.nonzero(cand)[0]:
+        v = mat[i]
+        dot = 0.0
+        nv = 0.0
+        for a, b in zip(v, qv):
+            dot += float(a) * float(b)
+            nv += float(a) * float(a)
+        cos = dot / (math.sqrt(nv) * qn)
+        rows.append((int(ids[i]), cos))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = [(vid, round(c, 5)) for vid, c in rows[:k]]
+    return ["vec_id", "sim"], out, {"sim": "DOUBLE"}
+
+
+# --------------------------------------------------------------------------
+# SQL emission
+# --------------------------------------------------------------------------
+
+
+def _lit(v, typ: str) -> str:
+    if v is None:
+        return "NULL"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    if typ == "DOUBLE":
+        return repr(float(v))
+    return str(int(v))
+
+
+def to_sql(cols: list[str], rows: list[tuple], types: dict[str, str]) -> str:
+    typs = [types.get(c, "BIGINT") for c in cols]
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, typs))
+    if not rows:
+        inner = ", ".join(f"NULL AS {c}" for c in cols)
+        return f"SELECT {sel} FROM (SELECT {inner}) t WHERE 1=0"
+    vals = ",\n      ".join(
+        "(" + ", ".join(_lit(v, t) for v, t in zip(r, typs)) + ")" for r in rows
+    )
+    collist = ", ".join(cols)
+    return f"SELECT {sel} FROM (VALUES\n      {vals}\n    ) t({collist})"
+
+
+GENERATORS = {
+    "geo_chunk_rollup": g_geo_chunk_rollup,
+    "geo_pip_enrich": g_geo_pip_enrich,
+    "geo_coastline_classify": g_geo_coastline_classify,
+    "geo_knn_ring": g_geo_knn_ring,
+    "geo_raster_vector_align": g_geo_raster_vector_align,
+    "geo_osm_way_tiling": g_geo_osm_way_tiling,
+    "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
+    "geo_lod_tables": g_geo_lod_tables,
+    "payload_decode_verify": g_payload_decode_verify,
+    "dedup_minhash_lsh_pairs": g_dedup_minhash_lsh_pairs,
+    "dedup_simhash_pairs": g_dedup_simhash_pairs,
+    "embedding_ann_topk": g_embedding_ann_topk,
+}
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    out_path = os.path.join(REPO, "coords_spark", "goldens.py")
+    existing: dict[str, str] = {}
+    if os.path.exists(out_path):
+        ns: dict = {}
+        exec(open(out_path).read(), ns)
+        existing = ns.get("GOLDEN_SQL", {})
+    for name, gen in GENERATORS.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        cols, rows, types = gen()
+        existing[name] = to_sql(cols, rows, types)
+        print(f"{name}: {len(rows)} rows ({time.time() - t0:.1f}s)")
+    body = [
+        '"""Golden oracle SQL (generated by tools/gen_goldens.py — do not edit).',
+        "",
+        "Expected outputs for driver queries with no natural ANSI-SQL twin,",
+        "computed by independent scalar implementations (minicoords oracle +",
+        "tools/gen_goldens.py) at sf=0.01, embedded as VALUES literals so the",
+        "driver's DuckDB hash gate pins these queries exactly.",
+        '"""',
+        "",
+        "GOLDEN_SQL = {",
+    ]
+    for name in sorted(existing):
+        body.append(f"    {name!r}: r'''\n    {existing[name]}\n    ''',")
+    body.append("}")
+    with open(out_path, "w") as f:
+        f.write("\n".join(body) + "\n")
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()
