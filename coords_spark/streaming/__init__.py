@@ -10,3 +10,4 @@ from coords_spark.streaming.events import (  # noqa: F401
     tumbling_window_counts,
     watermark_dedup,
 )
+from coords_spark.streaming.stateful import running_user_stats  # noqa: F401

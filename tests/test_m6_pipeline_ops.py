@@ -379,3 +379,46 @@ def test_session_windows(spark):
     rows = s.limit(5).collect()
     assert all(r["sess_end"] >= r["sess_start"] for r in rows)
     assert s.count() > 0
+
+
+def test_stateful_running_user_stats_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    the FINAL update-mode row per user must equal the batch aggregate over
+    all drops (state survived the trigger boundary)."""
+    from coords_spark.streaming import running_user_stats, stream_events_from_dir
+
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "stateful_src")
+    # two file drops -> at least two micro-batches with maxFilesPerTrigger=1
+    batch.coalesce(2).write.parquet(src)
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["total"], 6), r["last_event_us"])
+        for r in running_user_stats(batch).collect()
+    }
+    assert len(expected) > 10
+
+    stream = stream_events_from_dir(spark, src, max_files=1)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by user_id order by n_events desc) rn from user_state) where rn = 1"
+        ).collect()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total"], 6), r["last_event_us"])
+        for r in rows
+    }
+    assert got == expected

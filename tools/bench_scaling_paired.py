@@ -49,17 +49,43 @@ def pipeline():
         F.col("decode_ok"))
     chunked.drop("bytes").write.mode("overwrite").format("noop").save()
 
+def tree_cpu_s():
+    # CPU seconds of this process + all descendants (JVM + python workers).
+    # External load cannot inflate this, so cpu-derived utilization is the
+    # noise-robust cross-check on wall-clock scaling efficiency.
+    import glob
+    procs = {}
+    for statf in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            raw = open(statf).read()
+            pid = int(statf.split("/")[2])
+            rest = raw.rsplit(")", 1)[1].split()
+            procs[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except Exception:
+            pass
+    kids = {}
+    for pid, (ppid, _t) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0))[1]
+        stack.extend(kids.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
 pipeline()  # warm-up (JIT + python workers + page cache)
 open(os.path.join(ctl, f"ready-{cpus}"), "w").close()
 for i in range(rounds):
     go = os.path.join(ctl, f"go-{cpus}-{i}")
     while not os.path.exists(go):
         time.sleep(0.2)
+    c0 = tree_cpu_s()
     t0 = time.time()
     pipeline()
     wall = time.time() - t0
+    cpu = tree_cpu_s() - c0
     with open(os.path.join(ctl, f"done-{cpus}-{i}"), "w") as f:
-        f.write(str(wall))
+        f.write(json.dumps({"wall": wall, "cpu": cpu}))
 spark.stop()
 """
 
@@ -101,6 +127,11 @@ def main() -> None:
             BENCH_CTL=ctl,
             BENCH_ROUNDS=str(args.rounds),
             SPARK_GRAFT_MAX_PARTITION_BYTES=f"{sz}m",
+            # honest machine-size emulation: without this the JVM sizes GC /
+            # JIT / netty pools to the HOST's cores at BOTH levels, so the
+            # small "cluster" borrows big-cluster threads (and both levels
+            # fight over them under load)
+            JAVA_TOOL_OPTIONS=f"-XX:ActiveProcessorCount={cpus}",
         )
         return subprocess.Popen(
             [sys.executable, "-c", _CHILD], env=env,
@@ -119,6 +150,7 @@ def main() -> None:
                 raise RuntimeError("child died during warm-up")
 
     walls = {args.low: [], args.high: []}
+    cpu_s = {args.low: [], args.high: []}
     loads = []
     for i in range(args.rounds):
         loads.append(loadavg())
@@ -127,10 +159,14 @@ def main() -> None:
             done = os.path.join(ctl, f"done-{cpus}-{i}")
             while not os.path.exists(done):
                 time.sleep(0.2)
-            walls[cpus].append(float(open(done).read()))
+            time.sleep(0.1)  # let the child finish the write
+            rec = json.loads(open(done).read())
+            walls[cpus].append(rec["wall"])
+            cpu_s[cpus].append(rec["cpu"])
         print(
             f"round {i}: load={loads[-1]:.1f} "
-            f"lo={walls[args.low][-1]:.2f}s hi={walls[args.high][-1]:.2f}s",
+            f"lo={walls[args.low][-1]:.2f}s hi={walls[args.high][-1]:.2f}s "
+            f"(cpu lo={cpu_s[args.low][-1]:.0f}s hi={cpu_s[args.high][-1]:.0f}s)",
             file=sys.stderr,
         )
     p_lo.wait(timeout=60)
@@ -148,6 +184,11 @@ def main() -> None:
         for l, h in zip(lo, hi)
     ]
     eff_median = round(statistics.median(per_round), 3)
+    # cpu-derived utilization: fraction of the level's cores kept busy by
+    # OUR process tree (immune to external-tenant wall inflation); their
+    # ratio is the noise-robust secondary scaling-efficiency estimate
+    util_lo = [c / (w * args.low) for c, w in zip(cpu_s[args.low], lo)]
+    util_hi = [c / (w * args.high) for c, w in zip(cpu_s[args.high], hi)]
     print(
         json.dumps(
             {
@@ -166,6 +207,17 @@ def main() -> None:
                     "low": [round(w, 2) for w in lo],
                     "high": [round(w, 2) for w in hi],
                 },
+                "cpu_seconds": {
+                    "low": [round(c, 1) for c in cpu_s[args.low]],
+                    "high": [round(c, 1) for c in cpu_s[args.high]],
+                },
+                "core_utilization": {
+                    "low": [round(u, 3) for u in util_lo],
+                    "high": [round(u, 3) for u in util_hi],
+                },
+                "scaling_efficiency_cpu_util": round(
+                    statistics.median(util_hi) / statistics.median(util_lo), 3
+                ),
                 "host_loadavg_per_round": [round(x, 1) for x in loads],
             }
         )
