@@ -1498,6 +1498,22 @@ def geo_chunk_rollup(spark, sf):
 
 
 
+@_q("embedding_ann_join_topk", None)
+def embedding_ann_join_topk(spark, sf):
+    """Query-SET ANN as a bucketed equi-join (the 100 TB shape: vectors
+    keyed by their LSH bucket, queries exploded over multi-probe buckets,
+    exact cosine re-rank confined to the bucket join)."""
+    from coords_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return similarity.ann_topk_join(
+        e, queries, k=5, n_planes=8, probe_hamming=2
+    ).select("qid", "vec_id", F.round("cosine", 5).alias("sim"), "rank")
+
+
 # ===========================================================================
 # Golden twins: queries with no natural ANSI-SQL formulation get a VALUES
 # oracle computed by the independent scalar implementations in

@@ -118,3 +118,64 @@ def ann_topk(
     q = ", ".join(f"CAST({float(x)} AS FLOAT)" for x in query_vec)
     scored = cand.selectExpr(key, f"{cosine_expr(vec, f'array({q})')} as cosine")
     return scored.orderBy(F.col("cosine").desc(), F.col(key)).limit(k)
+
+
+def probe_buckets_col(vec_col, n_planes: int = 8, seed: int = 7, probe_hamming: int = 1):
+    """array<int> of multi-probe LSH buckets per query vector: its own
+    signature plus every signature within probe_hamming bit flips."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _pb(vs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        planes = _planes(mat.shape[1], n_planes, seed)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        sigs = (((mat @ planes.T) > 0) @ weights).astype(np.int64)
+        out = []
+        for s in sigs:
+            probes = {int(s)}
+            if probe_hamming >= 1:
+                for i in range(n_planes):
+                    probes.add(int(s) ^ (1 << i))
+            if probe_hamming >= 2:
+                for i in range(n_planes):
+                    for j in range(i + 1, n_planes):
+                        probes.add(int(s) ^ (1 << i) ^ (1 << j))
+            out.append(sorted(probes))
+        return pd.Series(out)
+
+    return _pb(vec_col)
+
+
+def ann_topk_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    probe_hamming: int = 1,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    qkey: str = "qid",
+    qvec: str = "qe",
+) -> DataFrame:
+    """Approximate top-k for a query SET as a bucketed EQUI-JOIN (the
+    100 TB shape): vectors key by their single LSH bucket, queries explode
+    their multi-probe bucket list, candidates come from the bucket join —
+    never a cross join — then exact cosine re-rank per query.
+
+    Shuffle: one hash exchange on `bucket` each side (the query side is
+    tiny and broadcasts below the threshold); candidate cardinality is
+    bucket-bounded. Contrast knn_topk_join (exact, broadcast nested loop):
+    that scans all vectors per query, this touches only probed buckets."""
+    d = vectors.withColumn("bucket", lsh_bucket_col(F.col(vec), n_planes, seed))
+    q = queries.withColumn(
+        "bucket",
+        F.explode(probe_buckets_col(F.col(qvec), n_planes, seed, probe_hamming)),
+    )
+    # no distinct needed: each vector lives in exactly ONE bucket, so a
+    # (query, vector) pair can only meet once even under multi-probe
+    cand = d.join(q, "bucket").select(qkey, key, vec, qvec)
+    scored = cand.selectExpr(qkey, key, f"{cosine_expr(vec, qvec)} as cosine")
+    w = Window.partitionBy(qkey).orderBy(F.col("cosine").desc(), F.col(key))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

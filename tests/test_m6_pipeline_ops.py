@@ -422,3 +422,27 @@ def test_stateful_running_user_stats_stream_matches_batch(spark, tmp_path):
         for r in rows
     }
     assert got == expected
+
+
+def test_ann_topk_join_bucketed_recall(spark, emb):
+    """Query-set ANN bucket join: every query must retrieve itself at rank 1
+    (cosine 1), and results must agree with the single-query ann_topk path
+    for the same parameters."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = similarity.ann_topk_join(emb, queries, k=5, n_planes=8, probe_hamming=2)
+    rows = got.collect()
+    assert len(rows) == 15
+    top1 = {r["qid"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {"0": 0, "1": 1, "2": 2}
+    # parity with the single-query path
+    for qid in ("0", "1", "2"):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == int(qid)).first()["embedding"]]
+        single = [
+            r["vec_id"]
+            for r in similarity.ann_topk(emb, qv, 5, n_planes=8, probe_hamming=2).collect()
+        ]
+        joined = [r["vec_id"] for r in sorted(
+            (r for r in rows if r["qid"] == qid), key=lambda r: r["rank"])]
+        assert joined == single, qid

@@ -508,7 +508,48 @@ def to_sql(cols: list[str], rows: list[tuple], types: dict[str, str]) -> str:
     return f"SELECT {sel} FROM (VALUES\n      {vals}\n    ) t({collist})"
 
 
+def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
+                              probe_hamming: int = 2, n_queries: int = 3):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    dim = mat.shape[1]
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    planes = u.reshape(n_planes, dim) * 2.0 - 1.0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    sigs = (((mat @ planes.T) > 0) @ weights).astype(np.int64)
+
+    def seq_cosine(v, q):
+        dot = nv = nq = 0.0
+        for a, b in zip(v, q):
+            dot += float(a) * float(b)
+            nv += float(a) * float(a)
+            nq += float(b) * float(b)
+        return dot / (math.sqrt(nv) * math.sqrt(nq))
+
+    rows = []
+    for qi in np.nonzero(ids < n_queries)[0]:
+        qv = mat[qi]
+        qsig = int(sigs[qi])
+        probes = {qsig}
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+            if probe_hamming >= 2:
+                for j in range(i + 1, n_planes):
+                    probes.add(qsig ^ (1 << i) ^ (1 << j))
+        cand = [
+            (int(ids[i]), seq_cosine(mat[i], qv))
+            for i in np.nonzero(np.isin(sigs, list(probes)))[0]
+        ]
+        cand.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (vid, cos) in enumerate(cand[:k], start=1):
+            rows.append((str(int(ids[qi])), vid, round(cos, 5), rank))
+    return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
+
+
 GENERATORS = {
+    "embedding_ann_join_topk": g_embedding_ann_join_topk,
     "geo_chunk_rollup": g_geo_chunk_rollup,
     "geo_pip_enrich": g_geo_pip_enrich,
     "geo_coastline_classify": g_geo_coastline_classify,
