@@ -24,6 +24,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
 import json, os, sys, time
+# HARD cpu affinity before the JVM spawns (inherited by JVM + pyspark
+# workers): local[N] with free host cores lets JVM task threads and python
+# UDF workers pipeline on EXTRA cores (measured 3.1 effective cores for
+# local[2]), which a real N-core executor cannot do — pinning makes the
+# N vs 4N comparison an honest machine-size emulation.
+off = int(os.environ["BENCH_CPU_OFFSET"])
+_n = int(os.environ["BENCH_CPUS"])
+os.sched_setaffinity(0, set(range(off, off + _n)))
 sys.path.insert(0, os.environ["COORDS_REPO"])
 from pyspark.sql import functions as F
 from coords_spark.session import get_spark
@@ -115,7 +123,7 @@ def main() -> None:
         // (1024 * 1024),
     )
 
-    def spawn(cpus: int) -> subprocess.Popen:
+    def spawn(cpus: int, cpu_offset: int) -> subprocess.Popen:
         # target ~8 tasks per core so stragglers amortize without drowning
         # in per-task overhead; derived from the REAL dataset size
         sz = max(4, data_mb // (8 * cpus))
@@ -123,6 +131,7 @@ def main() -> None:
             os.environ,
             COORDS_REPO=REPO,
             BENCH_CPUS=str(cpus),
+            BENCH_CPU_OFFSET=str(cpu_offset),
             BENCH_IMAGES=points,
             BENCH_CTL=ctl,
             BENCH_ROUNDS=str(args.rounds),
@@ -141,8 +150,9 @@ def main() -> None:
     def loadavg() -> float:
         return float(open("/proc/loadavg").read().split()[0])
 
-    p_lo = spawn(args.low)
-    p_hi = spawn(args.high)
+    # disjoint pinned cpu sets so the two levels can never contend
+    p_lo = spawn(args.low, 0)
+    p_hi = spawn(args.high, args.low)
     for cpus in (args.low, args.high):
         while not os.path.exists(os.path.join(ctl, f"ready-{cpus}")):
             time.sleep(0.5)
