@@ -1223,6 +1223,7 @@ def payload_decode_verify(spark, sf):
     return v.groupBy("fmt").agg(
         F.count("*").alias("n"),
         F.sum(F.col("payload_ok").cast("int")).alias("n_ok"),
+        F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
         F.round(F.min("psnr"), 2).alias("min_psnr"),
     ).orderBy("fmt")
 

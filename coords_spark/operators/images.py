@@ -68,7 +68,11 @@ def with_payload_verification(
     the blockhash FROM THE DECODED PIXELS, and checks the per-row invariant
     — lossless formats must roundtrip exactly (psnr inf, hash equal), lossy
     ones >= psnr_floor with the decoded-pixel hash within max_hamming_lossy
-    of the stored phash (BASELINE.json:15)."""
+    of the stored phash (BASELINE.json:15). If the table carries a
+    `caption` column, also adds caption_ok: the caption must equal the
+    deterministic expected text derived from (image_id, anchor(phash)) —
+    the input_hint's "captions verified equal" invariant."""
+    has_caption = "caption" in images.columns
 
     # never .add() onto df.schema — it mutates the DataFrame's cached schema
     @F.pandas_udf("psnr double, phash_rec long, payload_ok boolean")
@@ -102,12 +106,31 @@ def with_payload_verification(
             }
         )
 
-    return images.withColumn(
+    @F.pandas_udf("boolean")
+    def _caption_ok(iid: pd.Series, ph: pd.Series, cap: pd.Series) -> pd.Series:
+        lat, lon = phash.anchor(ph.to_numpy())
+        out = []
+        for s, la, lo, c in zip(iid, lat, lon, cap):
+            try:
+                idx = int(s[3:])
+            except (ValueError, TypeError):
+                out.append(False)
+                continue
+            want = f"synthetic scene {idx} near ({la * 1e-7:.5f},{lo * 1e-7:.5f})"
+            out.append(c == want)
+        return pd.Series(out)
+
+    out = images.withColumn(
         "_pv",
         _verify(
             F.col("image_id"), F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), F.col("phash")
         ),
     ).select("*", "_pv.psnr", "_pv.phash_rec", "_pv.payload_ok").drop("_pv")
+    if has_caption:
+        out = out.withColumn(
+            "caption_ok", _caption_ok(F.col("image_id"), F.col("phash"), F.col("caption"))
+        )
+    return out
 
 
 def with_decode_check_pandas(images: DataFrame, max_hamming_lossy: int = 8) -> DataFrame:

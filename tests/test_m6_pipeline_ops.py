@@ -446,3 +446,17 @@ def test_ann_topk_join_bucketed_recall(spark, emb):
         joined = [r["vec_id"] for r in sorted(
             (r for r in rows if r["qid"] == qid), key=lambda r: r["rank"])]
         assert joined == single, qid
+
+
+def test_caption_equality_verification(spark, imgs):
+    """input_hint invariant: captions verified equal. Pristine rows pass;
+    a mutated caption is flagged."""
+    v = images.with_payload_verification(imgs)
+    assert v.filter(~F.col("caption_ok")).count() == 0
+    tampered = imgs.withColumn(
+        "caption",
+        F.when(F.col("image_id") == imgs.first()["image_id"],
+               F.lit("not the original caption")).otherwise(F.col("caption")),
+    )
+    v2 = images.with_payload_verification(tampered)
+    assert v2.filter(~F.col("caption_ok")).count() == 1

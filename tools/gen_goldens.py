@@ -348,12 +348,19 @@ def g_payload_decode_verify(n: int = 400):
             hok = bin((hrec ^ r["phash"]) & ((1 << 64) - 1)).count("1") <= 8
         pv = 999.0 if math.isinf(p) else p
         ok = pv >= 40.0 and hok
-        a = agg.setdefault(r["fmt"], [0, 0, float("inf")])
+        la, lo = ph.anchor(np.asarray([r["phash"]], dtype=np.int64))
+        want_cap = (
+            f"synthetic scene {int(r['image_id'][3:])} near "
+            f"({la[0] * 1e-7:.5f},{lo[0] * 1e-7:.5f})"
+        )
+        a = agg.setdefault(r["fmt"], [0, 0, 0, float("inf")])
         a[0] += 1
         a[1] += int(ok)
-        a[2] = min(a[2], pv)
-    rows = [(f, a[0], a[1], round(a[2], 2)) for f, a in sorted(agg.items())]
-    return ["fmt", "n", "n_ok", "min_psnr"], rows, {"fmt": "VARCHAR", "min_psnr": "DOUBLE"}
+        a[2] += int(r["caption"] == want_cap)
+        a[3] = min(a[3], pv)
+    rows = [(f, a[0], a[1], a[2], round(a[3], 2)) for f, a in sorted(agg.items())]
+    return ["fmt", "n", "n_ok", "n_caption_ok", "min_psnr"], rows, {
+        "fmt": "VARCHAR", "min_psnr": "DOUBLE"}
 
 
 def _doc_shingles() -> dict[int, set]:
