@@ -34,8 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # re-launch straggling tasks — on shared/noisy hosts a single starved
-        # task otherwise sets the stage wall time
-        .config("spark.speculation", "true")
+        # task otherwise sets the stage wall time. The scaling bench turns
+        # this OFF (speculative duplicates inflate CPU and pollute the
+        # N-vs-4N comparison on pinned cores).
+        .config("spark.speculation", os.environ.get("SPARK_GRAFT_SPECULATION", "true"))
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.9")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -136,6 +136,8 @@ def main() -> None:
             BENCH_CTL=ctl,
             BENCH_ROUNDS=str(args.rounds),
             SPARK_GRAFT_MAX_PARTITION_BYTES=f"{sz}m",
+            # no speculative duplicates in the measured comparison
+            SPARK_GRAFT_SPECULATION="false",
             # honest machine-size emulation: without this the JVM sizes GC /
             # JIT / netty pools to the HOST's cores at BOTH levels, so the
             # small "cluster" borrows big-cluster threads (and both levels
