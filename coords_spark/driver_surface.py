@@ -1499,6 +1499,40 @@ def geo_chunk_rollup(spark, sf):
 
 
 
+@_q("icepick_roundtrip_stats", None)
+def icepick_roundtrip_stats(spark, sf):
+    """S2-S5 end-to-end as a driver query: chunk the order-derived points,
+    materialize an icepick table (atomic per-group commits, lineage,
+    checksums), then read it back with manifest pruning and count per
+    chunk. The golden twin pins the counts; checksum verification gates
+    the payload bytes on the way through."""
+    import shutil
+    import tempfile
+
+    from coords_spark.operators import ingest, tiling
+    from coords_spark.sources.icepick import IcepickTable
+
+    pts = ingest.with_point_cell(_points_from_orders(spark, sf), tiling.DEFAULT_BASE_LEVEL)
+    pts = pts.withColumn("nbytes", F.lit(128).cast("long"))
+    split = tiling.compute_split_set(pts, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    tmp = tempfile.mkdtemp(prefix="icepick_rt_")
+    try:
+        path = f"{tmp}/points"
+        tiling.materialize_chunk_table(chunked.withColumnRenamed("key", "image_id"), path)
+        t = IcepickTable(path)
+        assert t.verify_checksums()
+        back = ingest.read_chunk_table(spark, path)
+        return (
+            back.groupBy("chunk_id")
+            .agg(F.count("*").alias("n_points"))
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("embedding_ann_join_topk", None)
 def embedding_ann_join_topk(spark, sf):
     """Query-SET ANN as a bucketed equi-join (the 100 TB shape: vectors

@@ -188,14 +188,39 @@ class IcepickTable:
     def committed_groups(self) -> set[str]:
         return set(self.current_manifest()["committed_groups"])
 
-    def files(self) -> list[dict]:
-        return self.current_manifest()["files"]
+    def manifest_at(self, version: int | None = None) -> dict:
+        """Time travel: the manifest as of `version` (every commit writes an
+        immutable manifest-{v}.json, so old snapshots stay readable —
+        Iceberg-style snapshot isolation for readers)."""
+        if version is None:
+            return self.current_manifest()
+        p = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no snapshot version {version} at {self.path}")
+        with open(p) as f:
+            return json.load(f)
 
-    def data_paths(self, chunk_min: int | None = None, chunk_max: int | None = None) -> list[str]:
+    def versions(self) -> list[int]:
+        return sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(self.manifest_dir)
+            if n.startswith("manifest-") and n.endswith(".json")
+        )
+
+    def files(self, version: int | None = None) -> list[dict]:
+        return self.manifest_at(version)["files"]
+
+    def data_paths(
+        self,
+        chunk_min: int | None = None,
+        chunk_max: int | None = None,
+        version: int | None = None,
+    ) -> list[str]:
         """Absolute data-file paths, pruned by chunk-id range overlap using
-        manifest min/max lineage (planning-time file pruning, S5)."""
+        manifest min/max lineage (planning-time file pruning, S5);
+        optionally from a historical snapshot (time travel)."""
         out = []
-        for e in self.files():
+        for e in self.files(version):
             if chunk_min is not None and e.get("chunk_max") is not None and e["chunk_max"] < chunk_min:
                 continue
             if chunk_max is not None and e.get("chunk_min") is not None and e["chunk_min"] > chunk_max:

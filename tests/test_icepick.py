@@ -74,3 +74,27 @@ def test_checksum_detects_tamper(tmp_path):
         f.seek(10)
         f.write(b"\x00\x00")
     assert not t.verify_checksums()
+
+
+def test_time_travel_snapshots(tmp_path):
+    """Every commit writes an immutable manifest; readers can pin any
+    version (snapshot isolation) while the table keeps growing."""
+    t = IcepickTable.create(str(tmp_path / "tt"))
+    t.commit_staged(_stage(tmp_path, "v1", [1, 2]), group="g1")
+    t.commit_staged(_stage(tmp_path, "v2", [3, 4, 5]), group="g2")
+    t.commit_staged(_stage(tmp_path, "v3", [6]), group="g3")
+    assert t.versions() == [0, 1, 2, 3]
+    assert len(t.files(version=0)) == 0
+    assert len(t.files(version=1)) == 1
+    assert len(t.files(version=2)) == 2
+    assert len(t.files()) == 3
+    # snapshot-pinned reads see only that version's files
+    assert len(t.data_paths(version=1)) == 1
+    assert len(t.data_paths()) == 3
+    # range pruning composes with time travel
+    assert len(t.data_paths(chunk_min=3, chunk_max=5, version=1)) == 0
+    assert len(t.data_paths(chunk_min=3, chunk_max=5, version=2)) == 1
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        t.manifest_at(99)

@@ -555,8 +555,14 @@ def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
     return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
 
 
+def g_icepick_roundtrip_stats():
+    cols, rows, types = g_geo_chunk_rollup()
+    return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
+
+
 GENERATORS = {
     "embedding_ann_join_topk": g_embedding_ann_join_topk,
+    "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
     "geo_chunk_rollup": g_geo_chunk_rollup,
     "geo_pip_enrich": g_geo_pip_enrich,
     "geo_coastline_classify": g_geo_coastline_classify,
