@@ -152,9 +152,13 @@ def main() -> None:
     def loadavg() -> float:
         return float(open("/proc/loadavg").read().split()[0])
 
-    # disjoint pinned cpu sets so the two levels can never contend
+    # disjoint pinned cpu sets so the two levels can never contend; when
+    # the pair doesn't fit the host (e.g. 8+32 on 32 cores), the high level
+    # takes the full mask — safe because runs alternate, never overlap
+    ncpu = os.cpu_count() or 32
+    hi_off = args.low if args.low + args.high <= ncpu else 0
     p_lo = spawn(args.low, 0)
-    p_hi = spawn(args.high, args.low)
+    p_hi = spawn(args.high, hi_off)
     for cpus in (args.low, args.high):
         while not os.path.exists(os.path.join(ctl, f"ready-{cpus}")):
             time.sleep(0.5)
