@@ -891,6 +891,10 @@ def ngram_jaccard_pairs(spark, sf):
     from coords_spark.operators import dedup
 
     d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    # NOT cached although five subtrees consume it: measured 2.5x slower
+    # with .cache() — materializing the exploded shingle table costs more
+    # than recomputing the pipelined explode per consumer, where Catalyst
+    # prunes columns per subtree (A/B at sf0.1: 3.1-3.7 s vs 7.9-9.6 s)
     sh = dedup.bucketed_shingles(d, n=3)
     cand = dedup.ngram_candidates(sh, df_cap=32)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
