@@ -1503,6 +1503,64 @@ def geo_chunk_rollup(spark, sf):
 
 
 
+@_q(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+             AS urgent_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark, sf):
+    """Pivot (wide aggregation): per-status columns for selected priority
+    classes — Spark's groupBy().pivot() with an explicit value list (the
+    scale-safe form: no distinct-values pre-scan)."""
+    o = _t(spark, sf, "orders")
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("value"),
+        )
+    )
+    return p.select(
+        "o_orderstatus",
+        F.col("1-URGENT_n").alias("n_urgent"),
+        F.col("2-HIGH_n").alias("n_high"),
+        F.col("3-MEDIUM_n").alias("n_medium"),
+        F.col("1-URGENT_value").alias("urgent_value"),
+    )
+
+
+@_q(
+    "percentile_prices_by_priority",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(MAX(o_totalprice), 2) AS pmax
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices_by_priority(spark, sf):
+    """Exact interpolated percentiles (A4 depth): Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition, so
+    the twin hash-matches bit-for-bit after rounding."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.max("o_totalprice"), 2).alias("pmax"),
+    )
+
+
 @_q("icepick_roundtrip_stats", None)
 def icepick_roundtrip_stats(spark, sf):
     """S2-S5 end-to-end as a driver query: chunk the order-derived points,
