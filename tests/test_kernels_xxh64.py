@@ -61,3 +61,24 @@ def test_deterministic_no_spark():
     assert xxh64.hash_long(42) == xxh64.hash_long(np.int64(42))
     assert xxh64.hash_bytes(b"abc") != xxh64.hash_bytes(b"abd")
     assert xxh64.hash_bytes(b"", seed=0) != xxh64.hash_bytes(b"", seed=1)
+
+
+def test_randomized_parity(spark):
+    """200 random strings + longs (seeded) against F.xxhash64 in one shot."""
+    import random
+
+    rnd = random.Random(1234)
+    strs = [
+        "".join(chr(rnd.randint(32, 0x2FF)) for _ in range(rnd.randint(0, 120)))
+        for _ in range(200)
+    ]
+    longs = [rnd.randint(-(2**63), 2**63 - 1) for _ in range(200)]
+    df = spark.createDataFrame(
+        list(zip(strs, longs)), "s string, v long"
+    ).select("s", "v", F.xxhash64("s").alias("hs"), F.xxhash64("v").alias("hv"),
+             F.xxhash64("s", "v").alias("hsv"))
+    for r in df.collect():
+        assert r["hs"] == xxh64.hash_bytes(r["s"].encode("utf-8"))
+        assert r["hv"] == xxh64.hash_long(r["v"])
+        seed = xxh64.hash_bytes(r["s"].encode("utf-8")) & 0xFFFFFFFFFFFFFFFF
+        assert r["hsv"] == xxh64.hash_long(r["v"], seed=seed)

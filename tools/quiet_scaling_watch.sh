@@ -18,7 +18,7 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
   if python3 -c "import sys; sys.exit(0 if float('$load') < float('$THRESH') else 1)"; then
     attempt=$((attempt+1))
     echo "attempt $attempt at load $load"
-    res=$(cd "$REPO" && timeout 540 python tools/bench_scaling_paired.py --rows 200000 --rounds ${RUNS:-5} 2>>/tmp/quiet_scaling_log.txt)
+    res=$(cd "$REPO" && timeout ${RUN_TIMEOUT:-540} python tools/bench_scaling_paired.py --rows ${ROWS:-200000} --low ${LOW:-8} --high ${HIGH:-32} --rounds ${RUNS:-5} 2>>/tmp/quiet_scaling_log.txt)
     echo "$res" >> "$REPO/BENCH/scaling_attempts.jsonl"
     eff=$(echo "$res" | python3 -c "import json,sys; print(json.load(sys.stdin)['scaling_efficiency'])" 2>/dev/null || echo 0)
     echo "attempt $attempt efficiency=$eff"
