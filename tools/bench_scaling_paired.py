@@ -81,6 +81,10 @@ def tree_cpu_s():
         stack.extend(kids.get(p, []))
     return total / os.sysconf("SC_CLK_TCK")
 
+def gc_ms():
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
 pipeline()  # warm-up (JIT + python workers + page cache)
 open(os.path.join(ctl, f"ready-{cpus}"), "w").close()
 for i in range(rounds):
@@ -88,12 +92,14 @@ for i in range(rounds):
     while not os.path.exists(go):
         time.sleep(0.2)
     c0 = tree_cpu_s()
+    g0 = gc_ms()
     t0 = time.time()
     pipeline()
     wall = time.time() - t0
     cpu = tree_cpu_s() - c0
+    gc = (gc_ms() - g0) / 1000.0
     with open(os.path.join(ctl, f"done-{cpus}-{i}"), "w") as f:
-        f.write(json.dumps({"wall": wall, "cpu": cpu}))
+        f.write(json.dumps({"wall": wall, "cpu": cpu, "gc_s": gc}))
 spark.stop()
 """
 
@@ -167,6 +173,7 @@ def main() -> None:
 
     walls = {args.low: [], args.high: []}
     cpu_s = {args.low: [], args.high: []}
+    gc_s = {args.low: [], args.high: []}
     loads = []
     for i in range(args.rounds):
         loads.append(loadavg())
@@ -179,10 +186,12 @@ def main() -> None:
             rec = json.loads(open(done).read())
             walls[cpus].append(rec["wall"])
             cpu_s[cpus].append(rec["cpu"])
+            gc_s[cpus].append(rec.get("gc_s", 0.0))
         print(
             f"round {i}: load={loads[-1]:.1f} "
             f"lo={walls[args.low][-1]:.2f}s hi={walls[args.high][-1]:.2f}s "
-            f"(cpu lo={cpu_s[args.low][-1]:.0f}s hi={cpu_s[args.high][-1]:.0f}s)",
+            f"(cpu lo={cpu_s[args.low][-1]:.0f}s hi={cpu_s[args.high][-1]:.0f}s "
+            f"gc lo={gc_s[args.low][-1]:.1f}s hi={gc_s[args.high][-1]:.1f}s)",
             file=sys.stderr,
         )
     p_lo.wait(timeout=60)
@@ -226,6 +235,10 @@ def main() -> None:
                 "cpu_seconds": {
                     "low": [round(c, 1) for c in cpu_s[args.low]],
                     "high": [round(c, 1) for c in cpu_s[args.high]],
+                },
+                "gc_seconds": {
+                    "low": [round(g, 1) for g in gc_s[args.low]],
+                    "high": [round(g, 1) for g in gc_s[args.high]],
                 },
                 "core_utilization": {
                     "low": [round(u, 3) for u in util_lo],
