@@ -1561,6 +1561,41 @@ def percentile_prices_by_priority(spark, sf):
     )
 
 
+@_q("osm_tag_histogram", None)
+def osm_tag_histogram(spark, sf):
+    """Map-function surface (§2.8) as a driver query: explode the OSM tags
+    map, count per key, top 15 by (count desc, key). Golden twin computed
+    from the fixture in pure python."""
+    from coords_spark.fixtures import gen_nodes
+
+    nodes = spark.createDataFrame(gen_nodes(4000))
+    return (
+        nodes.select(F.explode(F.map_keys("tags")).alias("tag_key"))
+        .groupBy("tag_key")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tag_key")
+        .limit(15)
+    )
+
+
+@_q("geo_node_way_reverse_index", None)
+def geo_node_way_reverse_index(spark, sf):
+    """J3 reverse index as a driver query: node -> ways containing it
+    (posexplode of way refs), top 20 highest-degree nodes."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+
+    ways = spark.createDataFrame(gen_ways(600, 4000))
+    rev = ways.select(
+        F.col("id").alias("way_id"), F.explode("refs").alias("node_id")
+    ).distinct()
+    return (
+        rev.groupBy("node_id")
+        .agg(F.count("*").alias("n_ways"))
+        .orderBy(F.desc("n_ways"), "node_id")
+        .limit(20)
+    )
+
+
 @_q("icepick_roundtrip_stats", None)
 def icepick_roundtrip_stats(spark, sf):
     """S2-S5 end-to-end as a driver query: chunk the order-derived points,

@@ -555,6 +555,28 @@ def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
     return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
 
 
+def g_osm_tag_histogram(n: int = 4000, k: int = 15):
+    from coords_spark.fixtures import gen_nodes
+
+    counts: dict[str, int] = {}
+    for node in gen_nodes(n).to_pylist():
+        for key in dict(node["tags"]):
+            counts[key] = counts.get(key, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ["tag_key", "n"], top, {"tag_key": "VARCHAR"}
+
+
+def g_geo_node_way_reverse_index(n_ways: int = 600, n_nodes: int = 4000, k: int = 20):
+    from coords_spark.fixtures import gen_ways
+
+    deg: dict[int, int] = {}
+    for w in gen_ways(n_ways, n_nodes).to_pylist():
+        for node in set(w["refs"]):
+            deg[node] = deg.get(node, 0) + 1
+    top = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ["node_id", "n_ways"], top, {}
+
+
 def g_icepick_roundtrip_stats():
     cols, rows, types = g_geo_chunk_rollup()
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
@@ -563,6 +585,8 @@ def g_icepick_roundtrip_stats():
 GENERATORS = {
     "embedding_ann_join_topk": g_embedding_ann_join_topk,
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
+    "osm_tag_histogram": g_osm_tag_histogram,
+    "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
     "geo_chunk_rollup": g_geo_chunk_rollup,
     "geo_pip_enrich": g_geo_pip_enrich,
     "geo_coastline_classify": g_geo_coastline_classify,
