@@ -1528,11 +1528,13 @@ def pivot_priority_by_status(spark, sf):
             F.round(F.sum("o_totalprice"), 2).alias("value"),
         )
     )
+    # coalesce counts to 0: Spark pivot emits NULL for an empty cell while
+    # the twin's COUNT(*) FILTER emits 0 (sums stay NULL on both sides)
     return p.select(
         "o_orderstatus",
-        F.col("1-URGENT_n").alias("n_urgent"),
-        F.col("2-HIGH_n").alias("n_high"),
-        F.col("3-MEDIUM_n").alias("n_medium"),
+        F.coalesce(F.col("1-URGENT_n"), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.col("2-HIGH_n"), F.lit(0)).alias("n_high"),
+        F.coalesce(F.col("3-MEDIUM_n"), F.lit(0)).alias("n_medium"),
         F.col("1-URGENT_value").alias("urgent_value"),
     )
 

@@ -5,6 +5,7 @@ never RNG state — so any subset regenerates identically at any scale.
 """
 
 from coords_spark.fixtures.generate import (  # noqa: F401
+    expected_caption,
     gen_admin_polygons,
     gen_coastline,
     gen_images,

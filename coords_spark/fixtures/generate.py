@@ -55,6 +55,15 @@ def _procedural_batch(image_ids: list[str], w: int, h: int) -> np.ndarray:
     return img.astype(np.uint8)
 
 
+
+def expected_caption(idx: int, lat_i32: int, lon_i32: int) -> str:
+    """THE caption format — single source of truth for the input_hint
+    "captions verified equal" invariant. Consumed by gen_images (producer),
+    operators/images.py caption_ok (verifier), and tools/gen_goldens.py
+    (golden pin)."""
+    return f"synthetic scene {int(idx)} near ({lat_i32 * 1e-7:.5f},{lon_i32 * 1e-7:.5f})"
+
+
 def gen_images(n: int, with_bytes: bool = True, offset: int = 0) -> pa.Table:
     """The Iceberg-style graft input (image_id, bytes, w, h, fmt, caption,
     phash) — FIXTURES.md §1. `with_bytes=False` keeps payloads tiny (4-byte
@@ -85,8 +94,7 @@ def gen_images(n: int, with_bytes: bool = True, offset: int = 0) -> pa.Table:
 
     lat_i32, lon_i32 = phash.anchor(phashes)
     captions = [
-        f"synthetic scene {int(i)} near ({la * 1e-7:.5f},{lo * 1e-7:.5f})"
-        for i, la, lo in zip(idx, lat_i32, lon_i32)
+        expected_caption(i, la, lo) for i, la, lo in zip(idx, lat_i32, lon_i32)
     ]
     return pa.table(
         {

@@ -31,17 +31,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(key, shingle) pairs: distinct n-word shingles per doc, built with
-    higher-order functions (JVM-side)."""
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    alias: str = "shingle",
+) -> DataFrame:
+    """(doc_id, *extra_cols, <alias>): distinct n-word shingles per doc,
+    built with higher-order functions (JVM-side). The tokenization and
+    shingle expression here is THE single definition — the DuckDB oracle
+    twins replicate it in SQL, so never fork it."""
     words = _WORDS.format(c=text_col)
     parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
     return (
         df.selectExpr("*", f"{words} as words")
         .selectExpr(
             "doc_id",
+            *extra_cols,
             f"explode(CASE WHEN size(words) >= {n} THEN transform(sequence(0, size(words) - {n}), "
-            f"i -> concat_ws(' ', {parts})) ELSE array() END) as shingle",
+            f"i -> concat_ws(' ', {parts})) ELSE array() END) as {alias}",
         )
         .distinct()
     )
@@ -85,20 +94,9 @@ def minhash_lsh_candidates(
 
 def bucketed_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                       bucket_cols: tuple[str, ...] = ("lang", "source")) -> DataFrame:
-    """(doc_id, *bucket_cols, sh): distinct n-word shingles per doc,
-    carrying the natural bucket keys."""
-    words = _WORDS.format(c=text_col)
-    parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
-    return (
-        df.selectExpr("*", f"{words} as words")
-        .selectExpr(
-            "doc_id",
-            *bucket_cols,
-            f"explode(CASE WHEN size(words) >= {n} THEN transform(sequence(0, size(words) - {n}), "
-            f"i -> concat_ws(' ', {parts})) ELSE array() END) as sh",
-        )
-        .distinct()
-    )
+    """(doc_id, *bucket_cols, sh): shingles() carrying the natural bucket
+    keys (delegates — one shingle definition in the codebase)."""
+    return shingles(df, text_col, n, extra_cols=bucket_cols, alias="sh")
 
 
 def ngram_candidates(

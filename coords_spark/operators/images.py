@@ -108,6 +108,8 @@ def with_payload_verification(
 
     @F.pandas_udf("boolean")
     def _caption_ok(iid: pd.Series, ph: pd.Series, cap: pd.Series) -> pd.Series:
+        from coords_spark.fixtures import expected_caption
+
         lat, lon = phash.anchor(ph.to_numpy())
         out = []
         for s, la, lo, c in zip(iid, lat, lon, cap):
@@ -116,8 +118,7 @@ def with_payload_verification(
             except (ValueError, TypeError):
                 out.append(False)
                 continue
-            want = f"synthetic scene {idx} near ({la * 1e-7:.5f},{lo * 1e-7:.5f})"
-            out.append(c == want)
+            out.append(c == expected_caption(idx, la, lo))
         return pd.Series(out)
 
     out = images.withColumn(

@@ -68,7 +68,13 @@ def tree_cpu_s():
             raw = open(statf).read()
             pid = int(statf.split("/")[2])
             rest = raw.rsplit(")", 1)[1].split()
-            procs[pid] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            # utime+stime of the live process PLUS cutime/cstime (CPU of its
+            # already-reaped children — e.g. a pyspark worker that hit its
+            # idle timeout mid-round would otherwise vanish from the sample)
+            procs[pid] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
         except Exception:
             pass
     kids = {}
@@ -98,8 +104,10 @@ for i in range(rounds):
     wall = time.time() - t0
     cpu = tree_cpu_s() - c0
     gc = (gc_ms() - g0) / 1000.0
-    with open(os.path.join(ctl, f"done-{cpus}-{i}"), "w") as f:
+    done = os.path.join(ctl, f"done-{cpus}-{i}")
+    with open(done + ".tmp", "w") as f:
         f.write(json.dumps({"wall": wall, "cpu": cpu, "gc_s": gc}))
+    os.replace(done + ".tmp", done)  # atomic: parent never sees a partial file
 spark.stop()
 """
 
@@ -158,9 +166,12 @@ def main() -> None:
     def loadavg() -> float:
         return float(open("/proc/loadavg").read().split()[0])
 
-    # disjoint pinned cpu sets so the two levels can never contend; when
-    # the pair doesn't fit the host (e.g. 8+32 on 32 cores), the high level
-    # takes the full mask — safe because runs alternate, never overlap
+    # disjoint pinned cpu sets so the two levels cannot contend. When the
+    # pair doesn't fit the host (e.g. 8+32 on 32 cores) the high level takes
+    # the full mask: measured pipelines still never overlap (strict
+    # alternation), but the idle peer JVM's background threads (GC/netty/
+    # heartbeat) do share cores in that case — only sub-32-core pairs give
+    # the full isolation guarantee
     ncpu = os.cpu_count() or 32
     hi_off = args.low if args.low + args.high <= ncpu else 0
     p_lo = spawn(args.low, 0)
@@ -182,8 +193,7 @@ def main() -> None:
             done = os.path.join(ctl, f"done-{cpus}-{i}")
             while not os.path.exists(done):
                 time.sleep(0.2)
-            time.sleep(0.1)  # let the child finish the write
-            rec = json.loads(open(done).read())
+            rec = json.loads(open(done).read())  # atomic rename on child side
             walls[cpus].append(rec["wall"])
             cpu_s[cpus].append(rec["cpu"])
             gc_s[cpus].append(rec.get("gc_s", 0.0))

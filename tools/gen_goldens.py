@@ -348,11 +348,10 @@ def g_payload_decode_verify(n: int = 400):
             hok = bin((hrec ^ r["phash"]) & ((1 << 64) - 1)).count("1") <= 8
         pv = 999.0 if math.isinf(p) else p
         ok = pv >= 40.0 and hok
+        from coords_spark.fixtures import expected_caption
+
         la, lo = ph.anchor(np.asarray([r["phash"]], dtype=np.int64))
-        want_cap = (
-            f"synthetic scene {int(r['image_id'][3:])} near "
-            f"({la[0] * 1e-7:.5f},{lo[0] * 1e-7:.5f})"
-        )
+        want_cap = expected_caption(int(r["image_id"][3:]), la[0], lo[0])
         a = agg.setdefault(r["fmt"], [0, 0, 0, float("inf")])
         a[0] += 1
         a[1] += int(ok)
@@ -463,10 +462,13 @@ def g_embedding_ann_topk(k: int = 10, n_planes: int = 8, seed: int = 7, probe_ha
     sigs = ((mat @ planes.T) > 0) @ weights
     qsig = int(((qv @ planes.T) > 0) @ weights)
     probes = {qsig}
-    for i in range(n_planes):
-        probes.add(qsig ^ (1 << i))
-        for j in range(i + 1, n_planes):
-            probes.add(qsig ^ (1 << i) ^ (1 << j))
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
     cand = np.isin(sigs, list(probes))
     # cosine exactly as the engine's fold: sequential left-to-right sums
     rows = []
@@ -540,9 +542,11 @@ def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
         qv = mat[qi]
         qsig = int(sigs[qi])
         probes = {qsig}
-        for i in range(n_planes):
-            probes.add(qsig ^ (1 << i))
-            if probe_hamming >= 2:
+        if probe_hamming >= 1:
+            for i in range(n_planes):
+                probes.add(qsig ^ (1 << i))
+        if probe_hamming >= 2:
+            for i in range(n_planes):
                 for j in range(i + 1, n_planes):
                     probes.add(qsig ^ (1 << i) ^ (1 << j))
         cand = [
