@@ -11,3 +11,7 @@ from coords_spark.streaming.events import (  # noqa: F401
     watermark_dedup,
 )
 from coords_spark.streaming.stateful import running_user_stats  # noqa: F401
+from coords_spark.streaming.ingest_stream import (  # noqa: F401
+    stream_images_from_dir,
+    stream_ingest_images,
+)

@@ -460,3 +460,78 @@ def test_caption_equality_verification(spark, imgs):
     )
     v2 = images.with_payload_verification(tampered)
     assert v2.filter(~F.col("caption_ok")).count() == 1
+
+
+def test_streaming_chunk_ingest_exactly_once(spark, tmp_path):
+    """Image drops stream into an icepick table with one atomic commit per
+    micro-batch; a RESTARTED query (same checkpoint) re-ingests nothing,
+    and new drops land exactly once."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from coords_spark.fixtures import gen_images
+    from coords_spark.operators import ingest, tiling
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import stream_images_from_dir, stream_ingest_images
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    pq.write_table(gen_images(300), str(src / "drop-0.parquet"))
+    pq.write_table(gen_images(200, offset=300), str(src / "drop-1.parquet"))
+
+    # split set from the first batch's anchor distribution (a production
+    # job derives it from history; any fixed set keeps assignment stable)
+    pts = ingest.with_anchor_cell(
+        spark.createDataFrame(gen_images(300, with_bytes=False)).select("image_id", "phash"),
+        tiling.DEFAULT_BASE_LEVEL,
+    ).withColumn("nbytes", F.lit(4096).cast("long"))
+    split = tiling.compute_split_set(pts, max_bytes=256 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+
+    table_path = str(tmp_path / "stream_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_images(
+        stream_images_from_dir(spark, str(src), max_files=1),
+        table_path, split, tiling.DEFAULT_BASE_LEVEL, ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t = IcepickTable(table_path)
+    assert t.total_rows() == 500
+    assert t.verify_checksums()
+    groups1 = t.committed_groups()
+    assert len(groups1) >= 2  # one commit per micro-batch
+
+    # restart with the same checkpoint: nothing re-ingested; new drop lands once
+    pq.write_table(gen_images(150, offset=500), str(src / "drop-2.parquet"))
+    q2 = stream_ingest_images(
+        stream_images_from_dir(spark, str(src), max_files=1),
+        table_path, split, tiling.DEFAULT_BASE_LEVEL, ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    t2 = IcepickTable(table_path)
+    assert t2.total_rows() == 650
+    ids = spark.read.parquet(*t2.data_paths()).select("image_id")
+    assert ids.count() == ids.distinct().count() == 650
+
+    # chunk assignments in the table match the batch path exactly
+    batch = ingest.with_anchor_cell(
+        spark.createDataFrame(gen_images(650, with_bytes=False)).select("image_id", "phash"),
+        tiling.DEFAULT_BASE_LEVEL,
+    )
+    expect = {
+        (r["image_id"], r["chunk_id"])
+        for r in tiling.with_chunk(batch, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        .select("image_id", "chunk_id").collect()
+    }
+    got = {
+        (r["image_id"], r["chunk_id"])
+        for r in spark.read.parquet(*t2.data_paths()).select("image_id", "chunk_id").collect()
+    }
+    assert got == expect
