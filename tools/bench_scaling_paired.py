@@ -139,8 +139,10 @@ def main() -> None:
 
     def spawn(cpus: int, cpu_offset: int) -> subprocess.Popen:
         # target ~8 tasks per core so stragglers amortize without drowning
-        # in per-task overhead; derived from the REAL dataset size
-        sz = max(4, data_mb // (8 * cpus))
+        # in per-task overhead; derived from the REAL dataset size. Capped:
+        # >128 MB compressed splits put multi-GB decoded batches in flight
+        # per task slot and can OOM the fixed-size heap on very large jobs
+        sz = min(128, max(4, data_mb // (8 * cpus)))
         env = dict(
             os.environ,
             COORDS_REPO=REPO,
