@@ -42,6 +42,17 @@ DECODE_ERRORS = (
     TypeError,  # None payload
 )
 
+# Executor-local observability for the broad DECODE_ERRORS net: every caught
+# decode failure is tallied by (fmt, exception class) so a kernel bug that
+# starts masquerading as per-row decode failures stays visible (inspect via
+# spark.sparkContext.parallelize / tests, or a debugger on the worker).
+DECODE_ERROR_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def _note_decode_error(exc: BaseException, fmt) -> None:
+    k = (str(fmt), type(exc).__name__)
+    DECODE_ERROR_COUNTS[k] = DECODE_ERROR_COUNTS.get(k, 0) + 1
+
 
 def _extended_schema(df: DataFrame, extra: list[tuple[str, str]]):
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
@@ -86,7 +97,8 @@ def with_payload_verification(
         for i in range(n):
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
-            except DECODE_ERRORS:
+            except DECODE_ERRORS as e:
+                _note_decode_error(e, fmt.iloc[i])
                 psnrs[i], hashes[i] = float("nan"), 0
                 continue
             ref = phash.procedural_image(iid.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
@@ -155,7 +167,8 @@ def with_decode_check_pandas(images: DataFrame, max_hamming_lossy: int = 8) -> D
         for i in range(n):
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
-            except DECODE_ERRORS:
+            except DECODE_ERRORS as e:
+                _note_decode_error(e, fmt.iloc[i])
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmt.iloc[i]):
@@ -190,7 +203,8 @@ def with_decode_check_arrow(images: DataFrame, max_hamming_lossy: int = 8) -> Da
         for i in range(n):
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
-            except DECODE_ERRORS:
+            except DECODE_ERRORS as e:
+                _note_decode_error(e, fmts[i])
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):
@@ -241,7 +255,8 @@ def with_decode_check_chunk(
         for i in range(n):
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
-            except DECODE_ERRORS:
+            except DECODE_ERRORS as e:
+                _note_decode_error(e, fmts[i])
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):

@@ -80,6 +80,8 @@ def lsh_bucket_col(vec_col, n_planes: int = 12, seed: int = 7, dim: int | None =
 
     @F.pandas_udf(IntegerType())
     def _b(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32")
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         planes = _planes(mat.shape[1], n_planes, seed)
         signs = (mat @ planes.T) > 0
@@ -127,6 +129,8 @@ def probe_buckets_col(vec_col, n_planes: int = 8, seed: int = 7, probe_hamming: 
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _pb(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         planes = _planes(mat.shape[1], n_planes, seed)
         weights = (1 << np.arange(n_planes)).astype(np.int64)

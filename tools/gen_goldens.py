@@ -613,7 +613,9 @@ def main() -> None:
     if os.path.exists(out_path):
         ns: dict = {}
         exec(open(out_path).read(), ns)
-        existing = ns.get("GOLDEN_SQL", {})
+        # strip the embedding wrapper whitespace on read-back, or partial
+        # regenerations would re-wrap and accumulate blank-line padding
+        existing = {k: v.strip() for k, v in ns.get("GOLDEN_SQL", {}).items()}
     for name, gen in GENERATORS.items():
         if only and name not in only:
             continue
