@@ -1648,6 +1648,193 @@ def embedding_ann_join_topk(spark, sf):
     ).select("qid", "vec_id", F.round("cosine", 5).alias("sim"), "rank")
 
 
+@_q(
+    "scalar_functions_suite",
+    """
+    SELECT UPPER(SUBSTR(event_type, 1, 3))                     AS ev3,
+           CAST(LENGTH(event_type) AS BIGINT)                  AS ev_len,
+           CAST(YEAR(ts) AS INT)                               AS yr,
+           CAST(MONTH(ts) AS INT)                              AS mo,
+           CAST(json_extract_string(props, '$.k') AS INT) % 5  AS k_mod,
+           COUNT(*)                                            AS n,
+           ROUND(SUM(SQRT(ABS(value))), 2)                     AS sum_sqrt,
+           ROUND(SUM(LN(ABS(value) + 1)), 2)                   AS sum_ln,
+           ROUND(SUM(POWER(value / 100, 2)), 2)                AS sum_pow
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def scalar_functions_suite(spark, sf):
+    """One consolidated §2.8 scalar-function gate — string (upper/substr/
+    length), date (year/month), json (get_json_object) and math (sqrt/ln/
+    pow/abs) expressions exercised in a single plan, so the driver window
+    spends one slot keeping all four function families hash-verified
+    (the per-family twins remain registered below the window)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.upper(F.substring("event_type", 1, 3)).alias("ev3"),
+        F.length("event_type").cast("long").alias("ev_len"),
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mo"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("k_mod"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.sqrt(F.abs("value"))), 2).alias("sum_sqrt"),
+        F.round(F.sum(F.log(F.abs(F.col("value")) + 1)), 2).alias("sum_ln"),
+        F.round(F.sum(F.pow(F.col("value") / 100, 2)), 2).alias("sum_pow"),
+    )
+
+
+@_q(
+    "stateful_running_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total,
+           MAX(epoch_us(ts)) AS last_event_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_user_stats(spark, sf):
+    """Custom stateful streaming operator (§2.9, applyInPandasWithState)
+    under the driver hash gate: the events table is replayed as THREE file
+    micro-batches (each user's rows span batches, so per-key state truly
+    accumulates across the state store), and the FINAL state row per user
+    must equal the batch groupBy — which is exactly the SQL twin. Sum is
+    rounded to 2dp because the stream accumulates in batch order."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from coords_spark.streaming.stateful import running_user_stats
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    n = ev.count()
+    tmp = tempfile.mkdtemp(prefix="stateful_drv_")
+    try:
+        src = os.path.join(tmp, "events_in")
+        (
+            ev.repartition(1)
+            .sortWithinPartitions("event_id")
+            .write.option("maxRecordsPerFile", max(1, (n + 2) // 3))
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        name = "mem_" + os.path.basename(tmp).replace("-", "_").replace(".", "_")
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        mem = spark.table(name)
+        # final state per user = the row with the largest running count
+        # (n_events strictly increases each time a user's group is updated)
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            mem.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.round("total", 2).alias("total"),
+                "last_event_us",
+            )
+            .localCheckpoint()  # materialize before the input dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_q("ingest_ledger_invariant", None)
+def ingest_ledger_invariant(spark, sf):
+    """Exactly-once streaming chunk ingest (§2.9 × north_star resume) under
+    the driver hash gate: three image drops stream into an icepick table
+    (one atomic manifest commit per micro-batch), then the query RESTARTS
+    on the same checkpoint — the replay must re-ingest nothing. Output is
+    the per-group ledger lineage (row count + distinct chunks), made
+    batch-order-invariant by ranking groups on n_rows (drop sizes are
+    distinct by construction), plus the checksum + restart invariants.
+    Golden twin: independent scalar chunk assignment in gen_goldens.py."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as papq
+
+    from coords_spark.fixtures import gen_images
+    from coords_spark.operators import ingest, tiling
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import stream_images_from_dir, stream_ingest_images
+
+    tmp = tempfile.mkdtemp(prefix="ingest_ledger_")
+    try:
+        src = os.path.join(tmp, "drops")
+        os.makedirs(src)
+        for i, (cnt, off) in enumerate([(120, 0), (100, 120), (80, 220)]):
+            papq.write_table(
+                gen_images(cnt, offset=off), os.path.join(src, f"drop-{i}.parquet")
+            )
+        pts = ingest.with_anchor_cell(
+            spark.createDataFrame(gen_images(300, with_bytes=False)).select(
+                "image_id", "phash"
+            ),
+            tiling.DEFAULT_BASE_LEVEL,
+        ).withColumn("nbytes", F.lit(4096).cast("long"))
+        split = tiling.compute_split_set(
+            pts, max_bytes=256 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        table_path = os.path.join(tmp, "table")
+        ckpt = os.path.join(tmp, "ckpt")
+        for _ in range(2):  # second run = restart on the same checkpoint: no-op
+            q = stream_ingest_images(
+                stream_images_from_dir(spark, src, max_files=1),
+                table_path,
+                split,
+                tiling.DEFAULT_BASE_LEVEL,
+                ckpt,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        t = IcepickTable(table_path)
+        checksums_ok = bool(t.verify_checksums())
+        stable = t.total_rows() == 300 and len(t.committed_groups()) == 3
+        by_group: dict[str, list] = {}
+        for e in t.files():
+            g = by_group.setdefault(e["group"], [0, set()])
+            g[0] += e["rows"]
+            chunks = papq.read_table(
+                os.path.join(t.path, e["path"]), columns=["chunk_id"]
+            ).column("chunk_id")
+            g[1].update(chunks.to_pylist())
+        stats = sorted(((n, len(ch)) for n, ch in by_group.values()), reverse=True)
+        rows = pd.DataFrame(
+            {
+                "grp_rank": range(1, len(stats) + 1),
+                "n_rows": [s[0] for s in stats],
+                "n_chunks": [s[1] for s in stats],
+                "checksums_ok": checksums_ok,
+                "stable_after_restart": stable,
+            }
+        )
+        return spark.createDataFrame(
+            rows,
+            "grp_rank long, n_rows long, n_chunks long, "
+            "checksums_ok boolean, stable_after_restart boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ===========================================================================
 # Golden twins: queries with no natural ANSI-SQL formulation get a VALUES
 # oracle computed by the independent scalar implementations in
@@ -1663,3 +1850,76 @@ try:
             ORACLE_SQL[_gname] = _gsql
 except ImportError:  # goldens not generated yet
     pass
+
+
+# ===========================================================================
+# Registration-order window (round-3 verdict #1): the driver hash-checks the
+# FIRST 50 registered queries only. Front-load the operators whose only other
+# evidence is builder-controlled — the spatial resolve/tiling/LOD/
+# multipolygon chain, the icepick store roundtrip, LSH pair generation, ANN,
+# and the streaming stateful/exactly-once surfaces — and rotate simple
+# scalar-function twins (consolidated into scalar_functions_suite) plus
+# shared-plan-shape agg/set/window variants behind the window. Everything
+# past slot 50 still runs in tools/check_oracle.py and pytest.
+# ===========================================================================
+_WINDOW_FIRST = [
+    # formerly-dark spatial chain + store (round-2 positions 51-65)
+    "geo_coastline_classify",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "embedding_ann_topk",
+    "embedding_ann_join_topk",
+    "geo_osm_way_tiling",
+    "geo_lod_tables",
+    "geo_multipolygon_assembly",
+    "geo_chunk_rollup",
+    "geo_node_way_reverse_index",
+    "icepick_roundtrip_stats",
+    "osm_tag_histogram",
+    "pivot_priority_by_status",
+    "percentile_prices_by_priority",
+    # new this round: streaming stateful + exactly-once ingest + fn suite
+    "stateful_running_user_stats",
+    "ingest_ledger_invariant",
+    "scalar_functions_suite",
+    # spatial joins already driver-green (keep them that way)
+    "geo_pip_enrich",
+    "geo_knn_ring",
+    "geo_raster_vector_align",
+    "payload_decode_verify",
+    # one representative per remaining operator family
+    "q1_pricing_summary",
+    "rollup_status_priority",
+    "cube_brand_type",
+    "q3_top_orders",
+    "q5_region_nation_revenue",
+    "broadcast_region_rollup",
+    "semi_join_active_customers",
+    "outer_join_priority_fill",
+    "range_join_error_clicks",
+    "asof_last_click_before_purchase",
+    "window_top3_per_customer",
+    "window_rank_dense_ntile",
+    "topk_global_lineitems",
+    "set_intersect_nations",
+    "union_labels",
+    "dedup_exact_stats",
+    "dedup_keep_first",
+    "minhash_band_signature",
+    "ngram_jaccard_pairs",
+    "text_quality_by_source",
+    "langid_heuristic",
+    "token_stats_by_lang",
+    "doc_fingerprint_distinct",
+    "knn_cosine_top10",
+    "tumbling_window_event_counts",
+    "session_window_stats",
+    "sliding_window_user_counts",
+    "watermark_dedup_counts",
+    "approx_distinct_customers",
+]
+assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
+assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
+QUERIES = {name: QUERIES[name] for name in _WINDOW_FIRST} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_WINDOW_FIRST)
+}

@@ -393,8 +393,11 @@ def test_stateful_running_user_stats_stream_matches_batch(spark, tmp_path):
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     src = str(tmp_path / "stateful_src")
-    # two file drops -> at least two micro-batches with maxFilesPerTrigger=1
-    batch.coalesce(2).write.parquet(src)
+    # two file drops -> at least two micro-batches with maxFilesPerTrigger=1.
+    # repartition (NOT coalesce: from a single input split coalesce(2) keeps
+    # 1 partition -> 1 file -> 1 batch, and state.exists is never exercised)
+    # round-robins rows so users span BOTH batches and state is re-read.
+    batch.repartition(2).write.parquet(src)
     expected = {
         r["user_id"]: (r["n_events"], round(r["total"], 6), r["last_event_us"])
         for r in running_user_stats(batch).collect()

@@ -581,6 +581,32 @@ def g_geo_node_way_reverse_index(n_ways: int = 600, n_nodes: int = 4000, k: int 
     return ["node_id", "n_ways"], top, {}
 
 
+def g_ingest_ledger_invariant():
+    """Independent scalar twin of the streaming exactly-once ingest query:
+    the three fixed image drops (120/100/80 images) are chunk-assigned with
+    the minicoords split-set/assign rules; per-drop (n_rows, distinct
+    chunks) sorted by size is batch-order-invariant, and the checksum /
+    restart flags are TRUE by the ledger contract."""
+    from coords_spark.fixtures import gen_images
+
+    t = gen_images(300, with_bytes=False).to_pylist()
+    ph = np.asarray([r["phash"] for r in t], dtype=np.int64)
+    la, lo = anchor(ph)
+    ux, uy = _unit_xy(la.astype(np.int64), lo.astype(np.int64))
+    gx, gy = _grid_int(ux, uy)
+    cells = [mc.cell_id(int(x), int(y), BASE_LEVEL) for x, y in zip(gx, gy)]
+    splits = mc.split_set([(c, 4096) for c in cells], 256 * 1024, BASE_LEVEL)
+    chunks = [mc.assign_chunk(c, splits, BASE_LEVEL) for c in cells]
+    slices = [(0, 120), (120, 220), (220, 300)]
+    stats = sorted(((b - a, len(set(chunks[a:b]))) for a, b in slices), reverse=True)
+    rows = [(i + 1, n, k, True, True) for i, (n, k) in enumerate(stats)]
+    return (
+        ["grp_rank", "n_rows", "n_chunks", "checksums_ok", "stable_after_restart"],
+        rows,
+        {"checksums_ok": "BOOLEAN", "stable_after_restart": "BOOLEAN"},
+    )
+
+
 def g_icepick_roundtrip_stats():
     cols, rows, types = g_geo_chunk_rollup()
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
@@ -589,6 +615,7 @@ def g_icepick_roundtrip_stats():
 GENERATORS = {
     "embedding_ann_join_topk": g_embedding_ann_join_topk,
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
+    "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
     "geo_chunk_rollup": g_geo_chunk_rollup,
