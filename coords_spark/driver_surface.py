@@ -890,28 +890,33 @@ def ngram_jaccard_pairs(spark, sf):
     of DF capping (same shape as minhash_lsh_candidates + jaccard_verify)."""
     from coords_spark.operators import dedup
 
-    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
-    # NOT cached although five subtrees consume it: measured 2.5x slower
-    # with .cache() — materializing the exploded shingle table costs more
-    # than recomputing the pipelined explode per consumer, where Catalyst
-    # prunes columns per subtree (A/B at sf0.1: 3.1-3.7 s vs 7.9-9.6 s)
-    sh = dedup.bucketed_shingles(d, n=3)
-    cand = dedup.ngram_candidates(sh, df_cap=32)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("_bdoc"), F.col("sh").alias("sh2"))
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("_bdoc")) & (F.col("sh") == F.col("sh2")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ncommon"))
+    # the raw docs table is tiny relative to its derived shingle volume —
+    # spread it across all cores BEFORE the explode-heavy derivation, or a
+    # single input split serializes the whole pipeline (the r2 .distinct()
+    # used to provide this exchange as a side effect)
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    # NOT cached: per-consumer recompute of the (now shuffle-free) shingle
+    # subtree measured faster than materialization (r2 A/B: cache 2.5x
+    # slower). r3 plan: candidates = ONE exchange over the exploded
+    # shingles (fused window-DF-cap + same-partitioning pair explode in
+    # ngram_candidates); verification = two doc-keyed joins against the
+    # row-local per-doc shingle arrays with array_intersect (jaccard_verify
+    # shape) — no exploded-shingle join, no global distinct anywhere.
+    cand = dedup.ngram_candidates(dedup.bucketed_shingles(d, n=3), df_cap=32)
+    sets_ = dedup.shingle_sets(d)
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb"))
     j = (
-        common.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("_j", F.col("ncommon") / (F.col("na") + F.col("nb") - F.col("ncommon")))
+        .withColumn("ncommon", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "_j", F.col("ncommon") / (F.size("_sa") + F.size("_sb") - F.col("ncommon"))
+        )
         .filter(F.col("_j") >= 0.05)
     )
     return j.select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
@@ -1356,7 +1361,11 @@ def dedup_minhash_lsh_pairs(spark, sf):
     (engine-native variant of the md5 SQL twin; rows-only check)."""
     from coords_spark.operators import dedup
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)  # see ngram query
+    )
     cand = dedup.minhash_lsh_candidates(d, n_bands=8, rows_per_band=2)
     return dedup.jaccard_verify(d, cand, threshold=0.3).orderBy("doc_a", "doc_b")
 

@@ -31,6 +31,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
+def _shingle_array_sql(n: int) -> str:
+    """Per-row DISTINCT n-word shingle array over a `words` column. The
+    tokenization and shingle expression here is THE single definition — the
+    DuckDB oracle twins replicate it in SQL, so never fork it.
+    array_distinct runs BEFORE explode (row-local, inside codegen), so no
+    consumer ever needs a global .distinct() shuffle: doc_id is unique, so
+    per-doc distinct == global (doc_id, shingle) distinct."""
+    parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
+    return (
+        f"array_distinct(CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(0, size(words) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END)"
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", n: int = 3,
+                 extra_cols: tuple[str, ...] = (), alias: str = "shs") -> DataFrame:
+    """(doc_id, *extra_cols, <alias>: array<string>): each doc's distinct
+    shingle SET as one row-local array — no explode, no shuffle. The input
+    to set-algebra verification (array_intersect) and the base for
+    shingles()'s exploded form."""
+    words = _WORDS.format(c=text_col)
+    return df.selectExpr("*", f"{words} as words").selectExpr(
+        "doc_id", *extra_cols, f"{_shingle_array_sql(n)} as {alias}"
+    )
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -39,20 +66,20 @@ def shingles(
     alias: str = "shingle",
 ) -> DataFrame:
     """(doc_id, *extra_cols, <alias>): distinct n-word shingles per doc,
-    built with higher-order functions (JVM-side). The tokenization and
-    shingle expression here is THE single definition — the DuckDB oracle
-    twins replicate it in SQL, so never fork it."""
+    built with higher-order functions (JVM-side). Distinctness comes from
+    array_distinct before the explode (see _shingle_array_sql) — the r2
+    version's global .distinct() was a full shuffle of the exploded table
+    recomputed by EVERY downstream consumer; this emits the identical row
+    set with zero exchanges.
+
+    The generator expression MUST live in the same selectExpr as the
+    explode: aliasing the array in one projection and exploding the alias
+    in the next measured ~25x slower at sf0.1 (the optimizer fails to
+    collapse through the Generate and re-evaluates the shingle array per
+    output row)."""
     words = _WORDS.format(c=text_col)
-    parts = ", ".join(f"words[i{'+' + str(j) if j else ''}]" for j in range(n))
-    return (
-        df.selectExpr("*", f"{words} as words")
-        .selectExpr(
-            "doc_id",
-            *extra_cols,
-            f"explode(CASE WHEN size(words) >= {n} THEN transform(sequence(0, size(words) - {n}), "
-            f"i -> concat_ws(' ', {parts})) ELSE array() END) as {alias}",
-        )
-        .distinct()
+    return df.selectExpr("*", f"{words} as words").selectExpr(
+        "doc_id", *extra_cols, f"explode({_shingle_array_sql(n)}) as {alias}"
     )
 
 
@@ -102,47 +129,64 @@ def bucketed_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def ngram_candidates(
     sh: DataFrame, df_cap: int = 32, bucket_cols: tuple[str, ...] = ("lang", "source")
 ) -> DataFrame:
-    """Near-dup candidate pairs from a bucketed shingle table: the self-join
-    runs only on DISCRIMINATIVE shingles (document frequency <= df_cap
-    within the bucket), so one ultra-frequent shingle can never make the
-    join quadratic. A pair is missed only if every shared shingle is
-    frequent — the documented recall trade-off of DF capping."""
+    """Near-dup candidate pairs from a bucketed shingle table, generated
+    only from DISCRIMINATIVE shingles (document frequency <= df_cap within
+    the bucket), so one ultra-frequent shingle can never make the pair set
+    quadratic. A pair is missed only if every shared shingle is frequent —
+    the documented recall trade-off of DF capping.
+
+    Fused single-pass plan (round-3 rework of the r2 two-scan version —
+    same result, one scan of the exploded shingle subtree and ONE exchange
+    before pair explosion): shuffle once on the shingle key, count the DF
+    with a whole-partition window over that exchange, filter, then the
+    groupBy reuses the SAME partitioning (no second exchange) and emits all
+    i<j pairs per surviving group JVM-side. collect_list is safe here only
+    BECAUSE the window filter runs first: it never sees a group wider than
+    df_cap rows, so a viral shingle can't balloon an aggregation buffer
+    (WindowExec spills oversized groups to disk instead)."""
+    from pyspark.sql.window import Window
+
     keys = [*bucket_cols, "sh"]
-    rare_keys = (
-        sh.groupBy(*keys).agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).drop("df")
+    w = Window.partitionBy(*keys)
+    rare = sh.withColumn("_df", F.count("*").over(w)).filter(F.col("_df") <= df_cap)
+    return (
+        rare.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    rare = sh.join(rare_keys, keys)
-    a = rare.select(F.col("doc_id").alias("doc_a"), *keys)
-    b = rare.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(k).alias(f"_{k}2") for k in keys]
-    )
-    cond = F.col("doc_a") < F.col("doc_b")
-    for k in keys:
-        cond = cond & (F.col(k) == F.col(f"_{k}2"))
-    return a.join(b, cond).select("doc_a", "doc_b").distinct()
 
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, threshold: float, text_col: str = "text") -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs only (verification stage)."""
-    sh = shingles(df, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
-    common = (
-        candidates.join(a, "doc_a")
-        .join(
-            b,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ncommon"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    """Exact shingle-Jaccard on candidate pairs only (verification stage).
+
+    Set-algebra plan (r3 rework): each side joins the candidate pairs to the
+    per-doc shingle ARRAY (shingle_sets — computed row-local, no explode),
+    and |A∩B| is size(array_intersect) JVM-side. Two hash joins keyed on
+    doc id replace the r2 version's exploded-shingle equi-join + three
+    aggregation/join stages. Verification cost stays confined to candidate
+    rows; per-doc arrays are bounded by document length."""
+    sets_ = shingle_sets(df, text_col)
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("_sa"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("_sb"))
     return (
-        common.join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("ncommon") / (F.col("na") + F.col("nb") - F.col("ncommon")))
+        .withColumn("ncommon", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("ncommon") / (F.size("_sa") + F.size("_sb") - F.col("ncommon")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
