@@ -2,69 +2,95 @@
 BASELINE.json:6 "ray-casting point-in-polygon tests against admin/coastline
 polygons").
 
-Plan shape (broadcast-friendly, scale-safe):
+Plan shape (fully distributed, scale-safe — r3 rework of the r2 version
+whose cover rasterization was a driver-side loop over collect()ed rows):
 
-  1. driver-side (polygons are the SMALL dimension — admin/coastline sets
-     are O(10^2..10^5) while images are O(10^12)): rasterize each polygon's
-     envelope into covering cells at a per-polygon adaptive level (coarsest
-     level whose cover is <= max_cover cells);
-  2. broadcast equi-join: images match on (level, ancestor(cell, level)) —
-     one join per distinct cover level (few), unioned;
-  3. exact refine: vectorized numpy ray-cast per candidate pair inside an
-     Arrow-batched pandas UDF (polygon rings travel as a managed
-     sparkContext.broadcast variable — once per executor, memory-tracked).
+  1. cover generation: each polygon's envelope is rasterized into covering
+     cells at a per-polygon adaptive level (coarsest level whose cover is
+     <= max_cover cells) INSIDE an Arrow-batched mapInPandas over the
+     polygons DataFrame — the driver never touches ring payloads; only the
+     DISTINCT COVER LEVELS (bounded by tree depth <= zcurve.MAX_LEVEL) are
+     collected for join planning;
+  2. candidates: one broadcast equi-join per distinct cover level — images
+     match on (level, ancestor(cell, level)) — unioned (polygons are the
+     SMALL dimension: admin/coastline sets are O(10^2..10^5) while images
+     are O(10^12));
+  3. exact refine: candidates COGROUP with the polygon rings on poly_id —
+     ring payloads travel through the shuffle ONCE PER POLYGON (not per
+     candidate row, and never as a driver-built broadcast dict), and the
+     vectorized numpy ray-cast runs per (polygon, candidate-batch) group.
 
 No cross join ever materializes; candidate cardinality is bounded by cover
 selectivity. Refinement is exact, so cover-level choice affects cost only.
+Skew lever (documented, not default): a mega-polygon that attracts most
+candidates makes poly_id a hot cogroup key — salt the candidate side with
+pmod(xxhash64(point_key), S) and replicate that polygon's ring row S ways.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 from coords_spark.kernels import mercator, pip, zcurve
 from coords_spark.operators.cells import ancestor_expr
 
-
-def _poly_grid_rings(poly: dict) -> tuple[np.ndarray, np.ndarray, list]:
-    """outer/inners from a polygon row -> mercator grid coordinate arrays."""
-
-    def ring_xy(pts):
-        lat = np.asarray([p["lat"] for p in pts], dtype=np.int64)
-        lon = np.asarray([p["lon"] for p in pts], dtype=np.int64)
-        ux, uy = mercator.latlon_i32_to_unit(lat, lon)
-        return ux * zcurve.GRID, uy * zcurve.GRID
-
-    ox, oy = ring_xy(poly["outer"])
-    inners = [ring_xy(h) for h in (poly["inners"] or [])]
-    return ox, oy, inners
+COVER_SCHEMA = "poly_id long, level int, cover_cell long"
 
 
-def build_polygon_cover(polygons: list[dict], max_cover: int = 64) -> tuple[list[dict], dict]:
-    """polygons: collected rows with (poly_id, outer, inners). Returns
-    (cover rows [{poly_id, level, cover_cell}], {poly_id: grid rings})."""
-    cover_rows = []
-    rings_by_id = {}
-    for poly in polygons:
-        ox, oy, inners = _poly_grid_rings(poly)
-        rings_by_id[int(poly["poly_id"])] = (ox, oy, inners)
-        gx0, gx1 = int(ox.min()), int(ox.max())
-        gy0, gy1 = int(oy.min()), int(oy.max())
-        level = zcurve.MAX_LEVEL
-        while level > 0:
-            shift = zcurve.MAX_LEVEL - level
-            n = ((gx1 >> shift) - (gx0 >> shift) + 1) * ((gy1 >> shift) - (gy0 >> shift) + 1)
-            if n <= max_cover:
-                break
-            level -= 1
-        cells = zcurve.cover_envelope(gx0, gy0, gx1, gy1, level)
-        for c in cells.tolist():
-            cover_rows.append({"poly_id": int(poly["poly_id"]), "level": level, "cover_cell": c})
-    return cover_rows, rings_by_id
+def _ring_xy(pts) -> tuple[np.ndarray, np.ndarray]:
+    """One ring (sequence of {lat, lon} rows) -> mercator grid coords."""
+    lat = np.asarray([p["lat"] for p in pts], dtype=np.int64)
+    lon = np.asarray([p["lon"] for p in pts], dtype=np.int64)
+    ux, uy = mercator.latlon_i32_to_unit(lat, lon)
+    return ux * zcurve.GRID, uy * zcurve.GRID
+
+
+def _poly_grid_rings(outer, inners) -> tuple[np.ndarray, np.ndarray, list]:
+    # Arrow hands list columns to pandas as numpy arrays — no truthiness
+    holes = [] if inners is None else list(inners)
+    return (*_ring_xy(outer), [_ring_xy(h) for h in holes])
+
+
+def _cover_cells(ox: np.ndarray, oy: np.ndarray, max_cover: int) -> tuple[int, np.ndarray]:
+    """(level, cells): coarsest level whose envelope cover fits max_cover."""
+    gx0, gx1 = int(ox.min()), int(ox.max())
+    gy0, gy1 = int(oy.min()), int(oy.max())
+    level = zcurve.MAX_LEVEL
+    while level > 0:
+        shift = zcurve.MAX_LEVEL - level
+        n = ((gx1 >> shift) - (gx0 >> shift) + 1) * ((gy1 >> shift) - (gy0 >> shift) + 1)
+        if n <= max_cover:
+            break
+        level -= 1
+    return level, zcurve.cover_envelope(gx0, gy0, gx1, gy1, level)
+
+
+def polygon_covers(polygons: DataFrame, max_cover: int = 64) -> DataFrame:
+    """(poly_id, level, cover_cell) rows, rasterized DISTRIBUTED: the
+    per-polygon adaptive-level envelope cover runs inside mapInPandas over
+    the polygons DataFrame with the same zcurve kernels the driver loop
+    used in r2 — identical output, no driver-side per-polygon Python."""
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pids: list[int] = []
+            levels: list[int] = []
+            cells: list[int] = []
+            for pid, outer in zip(pdf["poly_id"], pdf["outer"]):
+                ox, oy = _ring_xy(outer)
+                level, cc = _cover_cells(ox, oy, max_cover)
+                cc = cc.tolist()
+                pids.extend([int(pid)] * len(cc))
+                levels.extend([level] * len(cc))
+                cells.extend(cc)
+            yield pd.DataFrame({"poly_id": pids, "level": levels, "cover_cell": cells})
+
+    return polygons.select("poly_id", "outer").mapInPandas(gen, COVER_SCHEMA)
 
 
 def pip_enrich(
@@ -73,22 +99,22 @@ def pip_enrich(
     max_cover: int = 64,
     point_key: str = "image_id",
 ) -> DataFrame:
-    """points: needs (point_key, lat, lon, cell at MAX or any level >= cover
-    levels — we require `cell` at MAX_LEVEL via grid coords); polygons:
-    (poly_id, outer, inners). Returns (point_key, poly_id) containment pairs."""
+    """points: needs (point_key, lat, lon, cell at MAX_LEVEL via grid
+    coords); polygons: (poly_id, outer, inners). Returns (point_key,
+    poly_id) containment pairs (outer ring minus holes, even-odd rule)."""
     spark = points.sparkSession
-    polys = polygons.select("poly_id", "outer", "inners").collect()
-    cover_rows, rings_by_id = build_polygon_cover([r.asDict() for r in polys], max_cover)
-    cover = spark.createDataFrame(
-        pd.DataFrame(cover_rows), "poly_id long, level int, cover_cell long"
-    )
-    levels = sorted({r["level"] for r in cover_rows})
-    # Ship the ring payload as a managed broadcast variable, NOT a task
-    # closure: torrent-distributed once per executor and memory-tracked,
-    # so a large polygon set doesn't ride along with every task launch.
-    rings_bc = spark.sparkContext.broadcast(rings_by_id)
+    key_type = points.schema[point_key].dataType.simpleString()
+    out_schema = f"{point_key} {key_type}, poly_id long"
 
-    # candidates: one broadcast equi-join per distinct cover level
+    # small dim consumed once per distinct level + once for the level set:
+    # cache the rasterized covers (cells only — never ring payloads)
+    cover = polygon_covers(polygons, max_cover).cache()
+    levels = sorted(r["level"] for r in cover.select("level").distinct().collect())
+    if not levels:
+        return spark.createDataFrame([], out_schema)
+
+    # candidates: one broadcast equi-join per distinct cover level (bounded
+    # by tree depth); the cover table is poly_count x <= max_cover rows
     pts = points.select(point_key, "lat", "lon", "cell")
     cands = None
     for lv in levels:
@@ -96,25 +122,30 @@ def pip_enrich(
         p_lv = pts.withColumn("cover_cell", ancestor_expr("cell", lv))
         j = p_lv.join(F.broadcast(c_lv), "cover_cell").select(point_key, "lat", "lon", "poly_id")
         cands = j if cands is None else cands.unionAll(j)
-    if cands is None:
-        return spark.createDataFrame([], f"{point_key} string, poly_id long")
 
-    @F.pandas_udf(BooleanType())
-    def _inside(lat: pd.Series, lon: pd.Series, pid: pd.Series) -> pd.Series:
-        rings = rings_bc.value
-        la = lat.to_numpy()
-        lo = lon.to_numpy()
-        pids = pid.to_numpy()
+    # exact refine: rings meet their candidate points via COGROUP on
+    # poly_id — each ring payload crosses the shuffle once per polygon
+    rings = polygons.select("poly_id", "outer", "inners")
+
+    def refine(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0 or len(poly_pdf) == 0:
+            return pd.DataFrame({point_key: [], "poly_id": []})
+        ox, oy, inners = _poly_grid_rings(
+            poly_pdf["outer"].iloc[0], poly_pdf["inners"].iloc[0]
+        )
+        la = cand_pdf["lat"].to_numpy()
+        lo = cand_pdf["lon"].to_numpy()
         ux, uy = mercator.latlon_i32_to_unit(la, lo)
-        px = ux * zcurve.GRID
-        py = uy * zcurve.GRID
-        out = np.zeros(len(la), dtype=bool)
-        for p in np.unique(pids):
-            sel = pids == p
-            ox, oy, inners = rings[int(p)]
-            out[sel] = pip.points_in_polygon(px[sel], py[sel], ox, oy, inners)
-        return pd.Series(out)
+        mask = pip.points_in_polygon(ux * zcurve.GRID, uy * zcurve.GRID, ox, oy, inners)
+        return pd.DataFrame(
+            {
+                point_key: cand_pdf[point_key].to_numpy()[mask],
+                "poly_id": cand_pdf["poly_id"].to_numpy()[mask],
+            }
+        )
 
-    return cands.filter(_inside(F.col("lat"), F.col("lon"), F.col("poly_id"))).select(
-        point_key, "poly_id"
+    return (
+        cands.groupBy("poly_id")
+        .cogroup(rings.groupBy("poly_id"))
+        .applyInPandas(refine, out_schema)
     )
