@@ -83,13 +83,52 @@ def shingles(
     )
 
 
+def capped_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop every row whose bucket (groupBy `keys`) is wider than
+    max_bucket BEFORE pair generation: a pathological near-dup cluster of N
+    docs otherwise emits N^2/2 candidate pairs (at 10^12 rows that is a
+    job-killer, and those pairs are better handled by running exact_dedup
+    first). Whole-partition window count over the bucket key — one
+    exchange, no unbounded state. Recall note: a dropped bucket loses its
+    pairs entirely; callers can quantify with lsh_bucket_drop_stats."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def lsh_bucket_drop_stats(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """One-row observability twin of capped_buckets: (n_dropped_buckets,
+    n_dropped_rows) that a capped pair generation silently discarded —
+    surface this next to any capped dedup job's output."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .agg(
+            F.count("*").alias("n_dropped_buckets"),
+            F.coalesce(F.sum("_bsz"), F.lit(0)).alias("n_dropped_rows"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
-    df: DataFrame, n_bands: int = 8, rows_per_band: int = 2, text_col: str = "text"
+    df: DataFrame,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Banded MinHash-LSH near-dup candidates: signature = min(xxhash64(
     seed_i || shingle)) per hash i; docs sharing a band (concatenated
     rows_per_band minima) become a candidate pair. One shuffle per stage,
-    pairs generated per-bucket (self-join on band value)."""
+    pairs generated per-bucket (self-join on band value); buckets wider
+    than max_bucket are dropped first (capped_buckets) so an N-duplicate
+    cluster can never go N^2 — run exact_dedup before this."""
     sh = shingles(df, text_col)
     n_hashes = n_bands * rows_per_band
     # one row per (doc, hash_i): min over shingles of xxhash64(i, shingle)
@@ -109,6 +148,7 @@ def minhash_lsh_candidates(
     bands = mins.withColumn("band", (F.col("hi") / rows_per_band).cast("int")).groupBy(
         "doc_id", "band"
     ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("mh").cast("string")))).alias("sig"))
+    bands = capped_buckets(bands, ["band", "sig"], max_bucket)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -225,8 +265,12 @@ def simhash64_col(text_col) -> F.Column:
     return _sh(text_col)
 
 
-def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", max_bucket: int = 1024
+) -> DataFrame:
     """SimHash near-dup candidates via block LSH, verified by exact popcount.
+    Buckets wider than max_bucket are dropped first (capped_buckets) so an
+    N-duplicate cluster can never go N^2 — run exact_dedup before this.
 
     Completeness by pigeonhole: the 64 bits are partitioned into
     max_hamming+1 blocks, so two fingerprints within `max_hamming` differing
@@ -260,6 +304,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, text_col: str = "text
             )
         ).alias("s"),
     ).select("doc_id", "sh", F.col("s.blk").alias("blk"), F.col("s.bv").alias("bv"))
+    blocks = capped_buckets(blocks, ["blk", "bv"], max_bucket)
     a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "blk", "bv")
     b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "blk", "bv")
     return (

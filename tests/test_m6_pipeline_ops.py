@@ -122,6 +122,57 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     assert planted <= pairs, f"missing {planted - pairs}"
 
 
+def test_lsh_bucket_cap_bounds_pathological_cluster(spark, docs):
+    """A planted 10k-duplicate cluster would emit ~50M candidate pairs per
+    band without the bucket cap; capped_buckets drops those buckets, the
+    candidate count stays bounded by the untouched corpus, and the drop is
+    quantified by lsh_bucket_drop_stats."""
+    base = docs.select("doc_id", "text")
+    cluster = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") + 500_000).alias("doc_id"),
+            F.lit("the same viral document text repeated everywhere verbatim").alias(
+                "text"
+            ),
+        )
+    )
+    alld = base.unionAll(cluster)
+    baseline_pairs = dedup.minhash_lsh_candidates(base, n_bands=8, rows_per_band=2).count()
+    capped_pairs = dedup.minhash_lsh_candidates(alld, n_bands=8, rows_per_band=2).count()
+    # the 10k-cluster contributes ZERO pairs (its buckets exceed the cap);
+    # the organic corpus' candidates are unaffected
+    assert capped_pairs == baseline_pairs
+    # drop stats surface exactly the cluster's buckets (8 bands x 1 bucket)
+    sh = dedup.shingles(alld)
+    n_hashes = 16
+    mins = (
+        sh.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_hashes - 1}), i -> "
+                    f"struct(i as hi, xxhash64(cast(i as string), shingle) as hv))"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", F.col("s.hi").alias("hi"))
+        .agg(F.min("s.hv").alias("mh"))
+    )
+    bands = mins.withColumn("band", (F.col("hi") / 2).cast("int")).groupBy(
+        "doc_id", "band"
+    ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("mh").cast("string")))).alias("sig"))
+    stats = dedup.lsh_bucket_drop_stats(bands, ["band", "sig"], 1024).first()
+    assert stats["n_dropped_buckets"] == 8
+    assert stats["n_dropped_rows"] == 8 * 10_000
+    # simhash path: same cap, same boundedness
+    sim_base = dedup.simhash_near_dups(base.limit(200), max_hamming=3).count()
+    sim_capped = dedup.simhash_near_dups(
+        base.limit(200).unionAll(cluster), max_hamming=3
+    ).count()
+    assert sim_capped == sim_base
+
+
 def test_simhash_near_dups(spark, docs):
     base = docs.select("doc_id", "text")
     clones = base.limit(5).select((F.col("doc_id") + 300000).alias("doc_id"), "text")
