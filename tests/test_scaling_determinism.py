@@ -46,3 +46,38 @@ def test_identical_output_across_parallelism():
     assert a["n"] == b["n"] == 20000
     assert a["splits"] == b["splits"]
     assert a["hash"] == b["hash"]
+
+
+_CHILD_ROLLUP = r"""
+import hashlib, json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+from coords_spark.session import get_spark
+from coords_spark.driver_surface import QUERIES
+
+spark = get_spark(master=os.environ["MASTER"], shuffle_partitions=8, app_name="rollup_det")
+spark.sparkContext.setLogLevel("ERROR")
+rows = sorted(tuple(r) for r in QUERIES["geo_chunk_rollup"](spark, "/root/testdata/sf0.01").collect())
+h = hashlib.sha256(json.dumps(rows).encode()).hexdigest()
+print(json.dumps({"hash": h, "n": len(rows)}))
+spark.stop()
+"""
+
+
+def test_geo_chunk_rollup_deterministic_across_parallelism():
+    """Cheap insurance while geo_chunk_rollup sits in the driver window
+    (round-2 verdict #8): the driver-registered query itself — split-set
+    derivation + chunk assignment + rollup — must hash identically at two
+    masters, pinning chunk-assignment byte-stability under parallelism."""
+    env = dict(os.environ, REPO=REPO)
+    outs = []
+    for master in ("local[2]", "local[8]"):
+        env["MASTER"] = master
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD_ROLLUP], env=dict(env), capture_output=True, text=True
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        assert lines, out.stderr[-2000:]
+        outs.append(json.loads(lines[-1]))
+    a, b = outs
+    assert a["n"] == b["n"] > 0
+    assert a["hash"] == b["hash"]
