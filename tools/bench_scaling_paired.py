@@ -154,15 +154,21 @@ def main() -> None:
             SPARK_GRAFT_MAX_PARTITION_BYTES=f"{sz}m",
             # no speculative duplicates in the measured comparison
             SPARK_GRAFT_SPECULATION="false",
+            # heap scales with emulated cluster size (a 4N cluster has 4N
+            # memory) — the flat 8g default OOMs 32 concurrent decode tasks
+            SPARK_GRAFT_DRIVER_MEM=f"{max(6, cpus)}g",
             # honest machine-size emulation: without this the JVM sizes GC /
             # JIT / netty pools to the HOST's cores at BOTH levels, so the
             # small "cluster" borrows big-cluster threads (and both levels
             # fight over them under load)
             JAVA_TOOL_OPTIONS=f"-XX:ActiveProcessorCount={cpus}",
         )
+        # child stderr goes to a file (not DEVNULL): a warm-up death is
+        # undiagnosable otherwise
+        errf = open(os.path.join(ctl, f"child-{cpus}.stderr"), "wb")
         return subprocess.Popen(
             [sys.executable, "-c", _CHILD], env=env,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            stdout=subprocess.DEVNULL, stderr=errf,
         )
 
     def loadavg() -> float:
@@ -182,7 +188,14 @@ def main() -> None:
         while not os.path.exists(os.path.join(ctl, f"ready-{cpus}")):
             time.sleep(0.5)
             if p_lo.poll() is not None or p_hi.poll() is not None:
-                raise RuntimeError("child died during warm-up")
+                dead = args.low if p_lo.poll() is not None else args.high
+                tail = ""
+                try:
+                    with open(os.path.join(ctl, f"child-{dead}.stderr")) as f:
+                        tail = f.read()[-3000:]
+                except OSError:
+                    pass
+                raise RuntimeError(f"child local[{dead}] died during warm-up:\n{tail}")
 
     walls = {args.low: [], args.high: []}
     cpu_s = {args.low: [], args.high: []}
