@@ -1657,6 +1657,24 @@ def embedding_ann_join_topk(spark, sf):
     ).select("qid", "vec_id", F.round("cosine", 5).alias("sim"), "rank")
 
 
+@_q("embedding_ivf_topk", None)
+def embedding_ivf_topk(spark, sf):
+    """IVF-bucketed approximate top-k for a query set (the task brief's
+    "IVF or LSH-bucketed variant" — the IVF path; embedding_ann_join_topk
+    is the LSH path). Deterministic sampled coarse quantizer, cell
+    equi-join, exact re-rank; golden twin from the independent scalar
+    replication in gen_goldens."""
+    from coords_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return similarity.ivf_topk_join(e, queries, k=5, n_centroids=16, nprobe=3).select(
+        "qid", "vec_id", F.round("cosine", 5).alias("sim"), "rank"
+    )
+
+
 @_q(
     "scalar_functions_suite",
     """

@@ -502,6 +502,26 @@ def test_ann_topk_join_bucketed_recall(spark, emb):
         assert joined == single, qid
 
 
+def test_ivf_topk_join_self_retrieval(spark, emb):
+    """IVF query-set ANN: each in-corpus query retrieves itself at rank 1
+    (cosine 1), ranks are contiguous per query, and the quantizer is
+    deterministic across invocations."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = similarity.ivf_topk_join(emb, queries, k=5, n_centroids=16, nprobe=3)
+    rows = got.collect()
+    assert len(rows) == 15
+    top1 = {r["qid"]: (r["vec_id"], round(r["cosine"], 6)) for r in rows if r["rank"] == 1}
+    assert top1 == {"0": (0, 1.0), "1": (1, 1.0), "2": (2, 1.0)}
+    for qid in ("0", "1", "2"):
+        assert sorted(r["rank"] for r in rows if r["qid"] == qid) == [1, 2, 3, 4, 5]
+    rows2 = similarity.ivf_topk_join(emb, queries, k=5, n_centroids=16, nprobe=3).collect()
+    assert {(r["qid"], r["vec_id"], r["rank"]) for r in rows} == {
+        (r["qid"], r["vec_id"], r["rank"]) for r in rows2
+    }
+
+
 def test_caption_equality_verification(spark, imgs):
     """input_hint invariant: captions verified equal. Pristine rows pass;
     a mutated caption is flagged."""

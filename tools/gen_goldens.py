@@ -559,6 +559,48 @@ def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
     return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
 
 
+def g_embedding_ivf_topk(k: int = 5, n_centroids: int = 16, nprobe: int = 3, n_queries: int = 3):
+    """Independent scalar twin of the IVF query-set ANN: sampled coarse
+    quantizer (smallest xxh64(vec_id) — kernel parity-tested against
+    Spark's xxhash64), argmax-cosine cell assignment, nprobe probe cells,
+    exact sequential-fold cosine re-rank."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    h = xxh64.hash_long(np.asarray(ids, dtype=np.int64))
+    order = sorted(range(len(ids)), key=lambda i: (h[i], ids[i]))[:n_centroids]
+    cent = sorted((int(ids[i]), mat[i]) for i in order)
+    cids = np.asarray([c for c, _ in cent], dtype=np.int64)
+    cm = np.stack([v for _, v in cent])
+    cnorm = np.linalg.norm(cm, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cn = cm / cnorm[:, None]
+    vnorm = np.linalg.norm(mat, axis=1)
+    vnorm[vnorm == 0] = 1.0
+    sims = (mat / vnorm[:, None]) @ cn.T
+    assign = cids[np.argmax(sims, axis=1)]
+
+    def seq_cosine(v, q):
+        dot = nv = nq = 0.0
+        for a, b in zip(v, q):
+            dot += float(a) * float(b)
+            nv += float(a) * float(a)
+            nq += float(b) * float(b)
+        return dot / (math.sqrt(nv) * math.sqrt(nq))
+
+    rows = []
+    for qi in np.nonzero(ids < n_queries)[0]:
+        probes = cids[np.argsort(-sims[qi], kind="stable")[:nprobe]]
+        cand = [
+            (int(ids[i]), seq_cosine(mat[i], mat[qi]))
+            for i in np.nonzero(np.isin(assign, probes))[0]
+        ]
+        cand.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (vid, cos) in enumerate(cand[:k], start=1):
+            rows.append((str(int(ids[qi])), vid, round(cos, 5), rank))
+    return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
+
+
 def g_osm_tag_histogram(n: int = 4000, k: int = 15):
     from coords_spark.fixtures import gen_nodes
 
@@ -630,6 +672,7 @@ GENERATORS = {
     "dedup_minhash_lsh_pairs": g_dedup_minhash_lsh_pairs,
     "dedup_simhash_pairs": g_dedup_simhash_pairs,
     "embedding_ann_topk": g_embedding_ann_topk,
+    "embedding_ivf_topk": g_embedding_ivf_topk,
 }
 
 
