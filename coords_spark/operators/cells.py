@@ -12,6 +12,7 @@ the extra float tolerance is acceptable.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType
@@ -42,13 +43,18 @@ def anchor_cell_struct(phash_col, level: int) -> Column:
     exchange (anchor + mercator + cell encode fused in one numpy kernel
     chain). Returns struct<lat:int, lon:int, cell:long>."""
 
-    @F.pandas_udf("lat int, lon int, cell long")
-    def _ac(ph: pd.Series) -> pd.DataFrame:
-        lat, lon = phash.anchor(ph.to_numpy())
+    # arrow_udf, not pandas_udf: skips the pandas Series/DataFrame wrap
+    # around what is pure numpy either way (~12% on the warm 2M-row pass)
+    @F.arrow_udf("lat int, lon int, cell long")
+    def _ac(ph: pa.Array) -> pa.Array:
+        lat, lon = phash.anchor(ph.to_numpy(zero_copy_only=False))
         ux, uy = mercator.latlon_i32_to_unit(lat, lon)
         gx, gy = zcurve.unit_to_grid(ux, uy)
         cell = zcurve.cell_from_point(gx, gy, level).astype("int64")
-        return pd.DataFrame({"lat": lat, "lon": lon, "cell": cell})
+        return pa.StructArray.from_arrays(
+            [pa.array(lat, pa.int32()), pa.array(lon, pa.int32()), pa.array(cell, pa.int64())],
+            names=["lat", "lon", "cell"],
+        )
 
     return _ac(phash_col)
 
@@ -64,14 +70,18 @@ def anchor_cell_chunk_struct(phash_col, split_sorted, base_level: int) -> Column
 
     split_sorted = np.sort(np.asarray(split_sorted, dtype="int64"))
 
-    @F.pandas_udf("lat int, lon int, cell long, chunk_id long")
-    def _acc(ph: pd.Series) -> pd.DataFrame:
-        lat, lon = phash.anchor(ph.to_numpy())
+    @F.arrow_udf("lat int, lon int, cell long, chunk_id long")
+    def _acc(ph: pa.Array) -> pa.Array:
+        lat, lon = phash.anchor(ph.to_numpy(zero_copy_only=False))
         ux, uy = mercator.latlon_i32_to_unit(lat, lon)
         gx, gy = zcurve.unit_to_grid(ux, uy)
         cell = zcurve.cell_from_point(gx, gy, base_level).astype("int64")
         chunk = assign_chunks_np(cell, split_sorted, base_level)
-        return pd.DataFrame({"lat": lat, "lon": lon, "cell": cell, "chunk_id": chunk})
+        return pa.StructArray.from_arrays(
+            [pa.array(lat, pa.int32()), pa.array(lon, pa.int32()),
+             pa.array(cell, pa.int64()), pa.array(chunk, pa.int64())],
+            names=["lat", "lon", "cell", "chunk_id"],
+        )
 
     return _acc(phash_col)
 
