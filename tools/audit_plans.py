@@ -62,6 +62,28 @@ def main() -> None:
         "cell", "nbytes", 12,
     )
     print("rollup exchanges:", executed(rollup).count("Exchange"))
+
+    # round-3 plans ------------------------------------------------------
+    from coords_spark.operators import dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    cand = dedup.ngram_candidates(dedup.bucketed_shingles(d, n=3), df_cap=32)
+    pc = executed(cand)
+    # one exchange to the shingle key + one for the final pair distinct;
+    # zero extra scans: the groupBy reuses the window's partitioning
+    print("ngram candidate exchanges:", pc.count("Exchange"),
+          "scans:", pc.count("Scan parquet"))
+
+    p = plan(QUERIES["geo_pip_enrich"](spark, sf))
+    print("pip cover distributed (MapInPandas):", "MapInPandas" in p,
+          "| cogroup refine (FlatMapCoGroups):", "FlatMapCoGroupsInPandas" in p,
+          "| broadcast cover joins:", p.count("BroadcastHashJoin"))
+
+    p = plan(QUERIES["embedding_ivf_topk"](spark, sf))
+    print("ivf equi-join (no nested loop):", "BroadcastNestedLoopJoin" not in p
+          and ("BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p))
     spark.stop()
 
 
