@@ -1657,6 +1657,24 @@ def embedding_ann_join_topk(spark, sf):
     ).select("qid", "vec_id", F.round("cosine", 5).alias("sim"), "rank")
 
 
+@_q("dedup_embedding_cosine_pairs", None)
+def dedup_embedding_cosine_pairs(spark, sf):
+    """Embedding-cosine near-dup via banded hyperplane LSH + exact verify,
+    under the hash gate: 5 exact clones are planted (ids +10000) — the
+    operator must surface exactly those pairs at cosine 1 (the corpus'
+    max natural cosine is ~0.51 at this sf). Golden twin replicates the
+    banding + verification scalar-side."""
+    from coords_spark.operators import dedup
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    clones = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_near_dups(
+        e.unionAll(clones), threshold=0.999, n_bands=4, planes_per_band=4
+    ).orderBy("id_a", "id_b")
+
+
 @_q("embedding_ivf_topk", None)
 def embedding_ivf_topk(spark, sf):
     """IVF-bucketed approximate top-k for a query set (the task brief's

@@ -559,6 +559,56 @@ def g_embedding_ann_join_topk(k: int = 5, n_planes: int = 8, seed: int = 7,
     return ["qid", "vec_id", "sim", "rank"], rows, {"qid": "VARCHAR", "sim": "DOUBLE"}
 
 
+def g_dedup_embedding_cosine_pairs(
+    threshold: float = 0.999, n_bands: int = 4, planes_per_band: int = 4, seed: int = 7
+):
+    """Independent scalar twin of the banded hyperplane-LSH near-dup with 5
+    planted clones: per band, sign-signature buckets over splitmix64
+    hyperplanes; candidates = any-band collision; verify = sequential-fold
+    cosine >= threshold."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(v) for v in t.column("vec_id").to_numpy()]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    sel = [i for i, v in enumerate(ids) if v < 5]
+    ids = ids + [ids[i] + 10000 for i in sel]
+    mat = np.vstack([mat, mat[sel]])
+    dim = mat.shape[1]
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+    cand = set()
+    for band in range(n_bands):
+        s = seed + 101 * band
+        idx = np.arange(dim * planes_per_band, dtype=np.uint64) + np.uint64(s * 1_000_003)
+        u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        planes = u.reshape(planes_per_band, dim) * 2.0 - 1.0
+        sigs = (((mat @ planes.T) > 0) @ weights).astype(np.int64)
+        buckets: dict[int, list[int]] = {}
+        for i, sg in enumerate(sigs):
+            buckets.setdefault(int(sg), []).append(i)
+        for members in buckets.values():
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    x, y = members[ai], members[bi]
+                    if ids[x] == ids[y]:
+                        continue
+                    cand.add((x, y) if ids[x] < ids[y] else (y, x))
+
+    def seq_cosine(v, q):
+        dot = nv = nq = 0.0
+        for a, b in zip(v, q):
+            dot += float(a) * float(b)
+            nv += float(a) * float(a)
+            nq += float(b) * float(b)
+        return dot / (math.sqrt(nv) * math.sqrt(nq))
+
+    rows = []
+    for x, y in cand:
+        c = seq_cosine(mat[x], mat[y])
+        if c >= threshold:
+            rows.append((ids[x], ids[y], round(c, 6)))
+    rows.sort()
+    return ["id_a", "id_b", "cosine"], rows, {"cosine": "DOUBLE"}
+
+
 def g_embedding_ivf_topk(k: int = 5, n_centroids: int = 16, nprobe: int = 3, n_queries: int = 3):
     """Independent scalar twin of the IVF query-set ANN: sampled coarse
     quantizer (smallest xxh64(vec_id) — kernel parity-tested against
@@ -673,6 +723,7 @@ GENERATORS = {
     "dedup_simhash_pairs": g_dedup_simhash_pairs,
     "embedding_ann_topk": g_embedding_ann_topk,
     "embedding_ivf_topk": g_embedding_ivf_topk,
+    "dedup_embedding_cosine_pairs": g_dedup_embedding_cosine_pairs,
 }
 
 
