@@ -106,10 +106,37 @@ def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]
 
     # warm the python worker pool + JIT before timing: worker startup
     # (interpreter + numpy import per core) is a per-executor one-off that
-    # a production job pays once per hours of work, not once per stage
-    ingest.with_anchor_cell(raw.limit(50_000), tiling.DEFAULT_BASE_LEVEL).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # a production job pays once per hours of work, not once per stage.
+    # repartition to defaultParallelism: limit() collapses to ONE partition,
+    # which warms exactly one of the N workers and silently bills the other
+    # N-1 cold starts to the first timed stage
+    warm = ingest.with_anchor_cell(
+        raw.limit(50_000).repartition(spark.sparkContext.defaultParallelism),
+        tiling.DEFAULT_BASE_LEVEL,
+    )
+    warm.write.mode("overwrite").format("noop").save()
+    # ...and JIT the rollup plan shapes (hash agg + ancestor explode +
+    # collect) on the small sample, so the timed pass measures steady-state
+    # execution rather than one-time whole-stage-codegen compilation
+    warm_split = tiling.compute_split_set(
+        warm.withColumn("nbytes", F.lit(4096).cast("long")),
+        max_bytes=tiling.DEFAULT_MAX_BYTES,
+        base_level=tiling.DEFAULT_BASE_LEVEL,
+    )
+    # ...and the materialization path (range partitioner sampling + sorted
+    # parquet write + manifest commit machinery), same steady-state rationale
+    warm_out = os.path.join(out_root, "bench_chunks_warm")
+    shutil.rmtree(warm_out, ignore_errors=True)
+    tiling.materialize_chunk_table(
+        ingest.with_anchor_cell_chunk(
+            raw.limit(50_000).repartition(spark.sparkContext.defaultParallelism),
+            warm_split,
+            tiling.DEFAULT_BASE_LEVEL,
+        ),
+        warm_out,
+        group_level=1,
+    )
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     t0 = time.time()
     split = tiling.compute_split_set(
