@@ -152,6 +152,9 @@ def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]
     out = os.path.join(out_root, "bench_chunks")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
+    # points are payload-free, so repartitionByRange's sampling re-pass is
+    # cheap here and measured faster than explicit allocation (A/B in
+    # BENCH/PLANS.md); payload tables (ingest_images) use chunk_weights
     tiling.materialize_chunk_table(chunked, out, group_level=1)
     times["geo_materialize"] = time.time() - t0
     return times

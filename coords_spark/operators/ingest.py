@@ -87,13 +87,17 @@ def ingest_images(
     pts = with_anchor_cell(images, base_level).withColumn(
         "nbytes", payload_nbytes_col(images)
     )
-    split_set = T.compute_split_set(
+    # split set AND per-chunk byte weights from one logical pass — the
+    # weights let materialization place rows explicitly instead of paying
+    # repartitionByRange's boundary-sampling re-evaluation of the input
+    split_set, weights = T.compute_split_set_and_weights(
         pts, cell="cell", nbytes="nbytes", max_bytes=max_bytes, base_level=base_level
     )
     # pass 2 re-derives everything from phash in ONE fused Python stage
     chunked = with_anchor_cell_chunk(images, split_set, base_level)
     table = T.materialize_chunk_table(
-        chunked, table_path, key_col=key_col, group_level=group_level
+        chunked, table_path, key_col=key_col, group_level=group_level,
+        chunk_weights=weights,
     )
     return table, split_set
 

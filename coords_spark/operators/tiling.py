@@ -96,6 +96,93 @@ def compute_split_set(
     return np.sort(np.asarray([r[0] for r in rows], dtype=np.int64))
 
 
+def compute_split_set_and_weights(
+    df: DataFrame,
+    cell: str = "cell",
+    nbytes: str = "nbytes",
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    base_level: int = DEFAULT_BASE_LEVEL,
+) -> tuple[np.ndarray, dict[int, int]]:
+    """(split_set, {chunk_id: subtree_bytes}) in one logical pass over the
+    data: the per-cell pre-aggregation (orders of magnitude smaller than
+    the input — it is the distinct-cell table) is cached, the split set is
+    collected from its rollup as usual, and per-CHUNK byte weights are then
+    a second tiny job over the SAME cached per-cell table (chunk count is
+    bounded by ~total_bytes/max_bytes + |split_set| — driver-safe).
+
+    The weights exist so materialization can place rows with an EXPLICIT
+    driver-computed allocation instead of repartitionByRange — whose range
+    sampling is a second full evaluation of the input (including the
+    Python anchor stage) at 10^12 rows. See materialize_chunk_table."""
+    capped = df.select(F.col(cell).alias("c"), F.col(nbytes).alias("b")).select(
+        F.when(_level_col(F.col("c")) > base_level, ancestor_expr("c", base_level))
+        .otherwise(F.col("c"))
+        .alias("c"),
+        "b",
+    )
+    per_cell = capped.groupBy("c").agg(F.sum("b").alias("b"))
+    per_cell.persist()
+    try:
+        anc = (
+            f"transform(sequence(0, cast(c & {int(zcurve.LEVEL_MASK)} as int)), "
+            f"l -> cast(shiftleft(shiftrightunsigned(shiftrightunsigned(c, {zcurve.LEVEL_BITS}), "
+            f"2 * (cast(c & {int(zcurve.LEVEL_MASK)} as int) - l)), {zcurve.LEVEL_BITS}) | l as long))"
+        )
+        split_rows = (
+            per_cell.select(F.explode(F.expr(anc)).alias("node"), "b")
+            .groupBy("node")
+            .agg(F.sum("b").alias("sub_bytes"))
+            .filter(F.col("sub_bytes") > max_bytes)
+            .select("node")
+            .collect()
+        )
+        split = np.sort(np.asarray([r[0] for r in split_rows], dtype=np.int64))
+        weighted = with_chunk(per_cell, split, cell="c", base_level=base_level)
+        w_rows = weighted.groupBy("chunk_id").agg(F.sum("b").alias("w")).collect()
+        return split, {int(r["chunk_id"]): int(r["w"]) for r in w_rows}
+    finally:
+        per_cell.unpersist()
+
+
+def allocate_chunk_partitions(
+    weights: dict[int, int], n_partitions: int
+) -> dict[int, tuple[int, int]]:
+    """Deterministic driver-side packing of chunks onto `n_partitions`
+    shuffle partitions: {chunk_id: (base_partition, width)}. Chunks are
+    walked in z-order (partition contents stay chunk-contiguous, so parquet
+    files keep tight chunk min/max for pruning); consecutive small chunks
+    pack into one partition until the byte target, and a hot chunk (the
+    level==cell split-leaf case, the only way a chunk exceeds max_bytes)
+    gets width = ceil(bytes/target) partitions — the T6 salting lever,
+    computed exactly instead of sampled."""
+    if not weights:
+        return {}
+    total = sum(weights.values())
+    n = max(1, n_partitions)
+    target = max(1, total // n)
+    out: dict[int, tuple[int, int]] = {}
+    p = 0
+    acc = 0
+    for c in sorted(weights):
+        w = weights[c]
+        if w > target:
+            if acc > 0:
+                p += 1
+                acc = 0
+            width = min(n, -(-w // target))
+            base = min(p, n - 1)
+            out[c] = (base, min(width, n - base))
+            p = base + out[c][1]
+        else:
+            base = min(p, n - 1)
+            out[c] = (base, 1)
+            acc += w
+            if acc >= target:
+                p += 1
+                acc = 0
+    return out
+
+
 def _isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     if sorted_set.size == 0:
         return np.zeros(values.shape, dtype=bool)
@@ -154,6 +241,28 @@ def chunk_groups_col(chunk_name: str, group_level: int = 2) -> F.Column:
     )
 
 
+def _partition_tokens(spark, n: int) -> dict[int, int]:
+    """One token per shuffle-partition index: the smallest long t with
+    pmod(hash(t), n) == p, queried from Spark itself so the Murmur3 mapping
+    is exact. Lets a driver-computed partition INDEX be realized through
+    plain hash repartitioning (repartition(n, token_col)) — no range
+    sampling, no custom partitioner. Deterministic; the search job scans a
+    tiny integer range, never data."""
+    m = 64 * n
+    while True:
+        rows = (
+            spark.range(m)
+            .select(F.col("id"), F.pmod(F.hash("id"), F.lit(n)).alias("p"))
+            .groupBy("p")
+            .agg(F.min("id").alias("tok"))
+            .collect()
+        )
+        toks = {int(r["p"]): int(r["tok"]) for r in rows}
+        if len(toks) >= n:
+            return toks
+        m *= 4  # coupon-collector miss at tiny n: widen the search
+
+
 def materialize_chunk_table(
     df: DataFrame,
     table_path: str,
@@ -162,13 +271,25 @@ def materialize_chunk_table(
     group_level: int = 2,
     shuffle_partitions: int | None = None,
     progress_cb=None,
+    chunk_weights: dict[int, int] | None = None,
 ) -> IcepickTable:
     """Write df as an icepick chunk table, one atomic commit per chunk
     group; a re-run skips groups already in the manifest (kill-safe resume
-    with zero reprocessing). Within a group, data is range-partitioned by
-    (chunk_id, xxhash64(key)) — chunk-contiguous files, hotspot chunks
-    spread over multiple partitions (T6) — and sorted by chunk_id so each
-    parquet row-group carries tight chunk min/max stats for pruning."""
+    with zero reprocessing). Data lands chunk-contiguous and sorted by
+    chunk_id so each parquet row-group carries tight chunk min/max stats
+    for pruning, with hotspot chunks spread over multiple partitions (T6).
+
+    Partition placement, in order of preference:
+      * chunk_weights given (from compute_split_set_and_weights): EXPLICIT
+        driver-computed allocation — chunks packed in z-order onto
+        partitions by byte weight, hot chunks salted by xxhash64(key)
+        across exactly ceil(bytes/target) partitions, realized via a
+        Murmur3 token column + plain hash repartition. Zero extra passes
+        over the data. This is the 10^12-row path: repartitionByRange's
+        boundary sampling re-evaluates the whole input (including the
+        Python anchor stage) before the real shuffle even starts.
+      * otherwise: repartitionByRange(chunk_id, xxhash64(key)) — correct
+        and sampling-based; fine when the input is cheap to re-evaluate."""
     table = IcepickTable.create(table_path)
     dfg = df.withColumn("_grp", chunk_groups_col(chunk_col, group_level))
     committed = table.committed_groups()
@@ -180,12 +301,38 @@ def materialize_chunk_table(
     # TOTAL range-partition count for the whole write (not per group)
     nshuffle = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     staging_root = os.path.join(table_path, f"_staging-{uuid.uuid4().hex[:8]}")
-    # ONE data pass: range-partition by (chunk, xxhash64(key)) — hotspot
-    # chunks spread across partitions (T6) while staying chunk-contiguous —
-    # then fan out per-group directories for atomic per-group commits.
+    if chunk_weights:
+        alloc = allocate_chunk_partitions(chunk_weights, nshuffle)
+        toks = _partition_tokens(spark, nshuffle)
+        amap = spark.createDataFrame(
+            [(c, b, w) for c, (b, w) in alloc.items()], "_ck long, _base int, _width int"
+        )
+        tmap = spark.createDataFrame(
+            [(p, t) for p, t in toks.items()], "_pidx int, _tok long"
+        )
+        placed = (
+            dfg.join(F.broadcast(amap), dfg[chunk_col] == amap["_ck"], "left")
+            .withColumn(
+                "_pidx",
+                F.coalesce(
+                    F.col("_base")
+                    + F.pmod(F.xxhash64(F.col(key_col)), F.col("_width")).cast("int"),
+                    # unseen chunk (can't happen when weights came from the
+                    # same data+split set): stable hash fallback
+                    F.pmod(F.xxhash64(F.col(chunk_col)), F.lit(nshuffle)).cast("int"),
+                ),
+            )
+            .join(F.broadcast(tmap), "_pidx")
+        )
+        shuffled = placed.repartition(nshuffle, F.col("_tok")).drop(
+            "_ck", "_base", "_width", "_pidx", "_tok"
+        )
+    else:
+        shuffled = dfg.repartitionByRange(
+            nshuffle, F.col(chunk_col), F.xxhash64(F.col(key_col))
+        )
     (
-        dfg.repartitionByRange(nshuffle, F.col(chunk_col), F.xxhash64(F.col(key_col)))
-        .sortWithinPartitions(chunk_col)
+        shuffled.sortWithinPartitions(chunk_col)
         .write.mode("overwrite")
         .partitionBy("_grp")
         .parquet(staging_root)

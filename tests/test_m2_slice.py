@@ -146,3 +146,54 @@ def test_resume_skips_committed_groups(spark, images_df, tmp_path_factory):
     a = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*t2.data_paths()).select("image_id", "chunk_id").collect()}
     b = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*IcepickTable(fresh).data_paths()).select("image_id", "chunk_id").collect()}
     assert a == b
+
+
+def test_allocate_chunk_partitions_packing():
+    """Driver-side allocation: z-order contiguity, byte-balanced packing,
+    hot chunks get proportional width (the exact T6 salting), bounds hold."""
+    # 8 small chunks of 10 bytes + one hot chunk of 400 bytes, 8 partitions
+    weights = {c: 10 for c in range(0, 80, 10)}
+    weights[35] = 400
+    alloc = tiling.allocate_chunk_partitions(weights, 8)
+    assert set(alloc) == set(weights)
+    total = sum(weights.values())
+    target = total // 8
+    base, width = alloc[35]
+    assert width == min(8, -(-400 // target))  # proportional salting
+    for c, (b, w) in alloc.items():
+        assert 0 <= b < 8 and 1 <= w <= 8 - b
+    # z-order contiguity: bases are non-decreasing in chunk order
+    bases = [alloc[c][0] for c in sorted(alloc)]
+    assert bases == sorted(bases)
+    # determinism
+    assert alloc == tiling.allocate_chunk_partitions(dict(weights), 8)
+
+
+def test_materialize_with_weights_matches_legacy(spark, images_df, tmp_path_factory):
+    """The explicit-allocation materialization (chunk_weights path — no
+    repartitionByRange sampling pass) must produce the same table CONTENT
+    as the legacy range-partitioned path, with checksums green, and the
+    split-set+weights one-pass helper must agree with compute_split_set."""
+    pts = ingest.with_point_cell(ingest.with_anchor(images_df), BASE_LEVEL).withColumn(
+        "nbytes", ingest.payload_nbytes_col(images_df)
+    )
+    split_a = tiling.compute_split_set(pts, max_bytes=MAX_BYTES, base_level=BASE_LEVEL)
+    split_b, weights = tiling.compute_split_set_and_weights(
+        pts, max_bytes=MAX_BYTES, base_level=BASE_LEVEL
+    )
+    assert list(split_a) == list(split_b)
+    chunked = tiling.with_chunk(pts, split_a, base_level=BASE_LEVEL)
+    # weights cover exactly the chunk universe of the data
+    got_chunks = {r["chunk_id"] for r in chunked.select("chunk_id").distinct().collect()}
+    assert got_chunks == set(weights)
+
+    legacy = str(tmp_path_factory.mktemp("mat") / "legacy")
+    explicit = str(tmp_path_factory.mktemp("mat") / "explicit")
+    tiling.materialize_chunk_table(chunked, legacy)
+    tiling.materialize_chunk_table(chunked, explicit, chunk_weights=weights)
+    ta, tb = IcepickTable(legacy), IcepickTable(explicit)
+    assert ta.total_rows() == tb.total_rows() == chunked.count()
+    assert tb.verify_checksums()
+    a = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*ta.data_paths()).select("image_id", "chunk_id").collect()}
+    b = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*tb.data_paths()).select("image_id", "chunk_id").collect()}
+    assert a == b
