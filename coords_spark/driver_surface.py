@@ -1797,6 +1797,70 @@ def stateful_running_user_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q(
+    "stream_click_purchase_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           MAX(epoch_us(c.ts)) AS last_click_us
+    FROM events p JOIN events c ON c.user_id = p.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def stream_click_purchase_join(spark, sf):
+    """STREAM-STREAM interval join under the driver hash gate (§2.9): the
+    events table replays as 3 file micro-batches feeding two independent
+    file-source streams (clicks / purchases); every cross-batch pair must
+    still be found (join state buffers both sides; watermark=None keeps
+    eviction off so the result equals the batch join — the SQL twin —
+    exactly). The memory sink holds raw pairs; the per-purchase rollup is
+    a plain batch aggregate over it."""
+    import os
+    import shutil
+    import tempfile
+
+    from coords_spark.streaming import click_purchase_interval_join, stream_events_from_dir
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    n = ev.count()
+    tmp = tempfile.mkdtemp(prefix="ssjoin_drv_")
+    try:
+        src = os.path.join(tmp, "events_in")
+        (
+            ev.repartition(1)
+            .sortWithinPartitions("event_id")
+            .write.option("maxRecordsPerFile", max(1, (n + 2) // 3))
+            .parquet(src)
+        )
+        clicks = stream_events_from_dir(spark, src).filter(F.col("event_type") == "click")
+        purchases = stream_events_from_dir(spark, src).filter(
+            F.col("event_type") == "purchase"
+        )
+        joined = click_purchase_interval_join(clicks, purchases, lookback="7 days")
+        name = "mem_" + os.path.basename(tmp).replace("-", "_").replace(".", "_")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .groupBy(F.col("purchase_id"))
+            .agg(
+                F.count("*").alias("n_clicks"),
+                F.unix_micros(F.max("click_ts").cast("timestamp")).alias("last_click_us"),
+            )
+            .localCheckpoint()  # materialize before the input dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("ingest_ledger_invariant", None)
 def ingest_ledger_invariant(spark, sf):
     """Exactly-once streaming chunk ingest (§2.9 × north_star resume) under
@@ -1959,7 +2023,8 @@ _WINDOW_FIRST = [
     "knn_cosine_top10",
     "tumbling_window_event_counts",
     "session_window_stats",
-    "sliding_window_user_counts",
+    "stream_click_purchase_join",  # stream-stream interval join (r3); the
+    # sliding-window variant rotates out (tumbling pins the same plan shape)
     "watermark_dedup_counts",
     "approx_distinct_customers",
 ]

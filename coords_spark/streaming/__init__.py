@@ -10,6 +10,7 @@ from coords_spark.streaming.events import (  # noqa: F401
     tumbling_window_counts,
     watermark_dedup,
 )
+from coords_spark.streaming.joins import click_purchase_interval_join  # noqa: F401
 from coords_spark.streaming.stateful import running_user_stats  # noqa: F401
 from coords_spark.streaming.ingest_stream import (  # noqa: F401
     stream_images_from_dir,

@@ -478,6 +478,47 @@ def test_stateful_running_user_stats_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: pairs spanning micro-batch boundaries
+    must all be found (both sides buffer state); the streaming result set
+    equals the batch join exactly."""
+    from coords_spark.streaming import click_purchase_interval_join, stream_events_from_dir
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    batch = click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        lookback="7 days",
+    )
+    expected = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert len(expected) > 20
+
+    src = str(tmp_path / "ssjoin_src")
+    ev.repartition(2).write.parquet(src)  # users span both micro-batches
+    clicks = stream_events_from_dir(spark, src).filter(F.col("event_type") == "click")
+    purchases = stream_events_from_dir(spark, src).filter(F.col("event_type") == "purchase")
+    q = (
+        click_purchase_interval_join(clicks, purchases, lookback="7 days")
+        .writeStream.format("memory")
+        .queryName("ssjoin_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.table("ssjoin_mem").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_ann_topk_join_bucketed_recall(spark, emb):
     """Query-set ANN bucket join: every query must retrieve itself at rank 1
     (cosine 1), and results must agree with the single-query ann_topk path
