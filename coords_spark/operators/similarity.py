@@ -243,6 +243,13 @@ def ivf_topk_join(
     join. Recall grows with nprobe; candidate cardinality is bounded by
     the probed cells' population (~nprobe/n_centroids of the corpus)."""
     cents = ivf_centroids(vectors, n_centroids, key, vec)
+    if not cents:  # empty corpus: no cells, no candidates
+        spark = vectors.sparkSession
+        key_t = vectors.schema[key].dataType.simpleString()
+        qkey_t = queries.schema[qkey].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{qkey} {qkey_t}, {key} {key_t}, cosine double, rank int"
+        )
     d = vectors.withColumn("cid", nearest_centroid_col(F.col(vec), cents))
     q = queries.withColumn(
         "cid", F.explode(probe_centroids_col(F.col(qvec), cents, nprobe))
