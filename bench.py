@@ -31,6 +31,7 @@ SURFACE_QUERIES = [
     "minhash_band_signature",
     "ngram_jaccard_pairs",
     "knn_cosine_top10",
+    "embedding_ivf_topk",
     "dedup_keep_first",
 ]
 
