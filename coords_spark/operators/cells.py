@@ -133,6 +133,17 @@ def ancestor_expr(cell_sql: str, level: int) -> Column:
     )
 
 
+def ancestor_expr_col(cell_sql: str, level_sql: str) -> Column:
+    """z_ancestor where the TARGET LEVEL is itself a column (e.g. an
+    exploded per-polygon cover level). Caller guarantees level <= the
+    cell's own level, as with ancestor_expr."""
+    return F.expr(
+        f"cast(shiftleft(shiftrightunsigned(shiftrightunsigned({cell_sql}, {zcurve.LEVEL_BITS}), "
+        f"2 * ((({cell_sql}) & {int(zcurve.LEVEL_MASK)}) - ({level_sql}))), {zcurve.LEVEL_BITS}) "
+        f"| ({level_sql}) as long)"
+    )
+
+
 def grid_envelope_cell_col(gx0, gy0, gx1, gy1, max_level: int = zcurve.MAX_LEVEL) -> Column:
     """Deepest cell fully containing an envelope in MERCATOR GRID units
     (T4). For lat/lon-int32 envelopes use

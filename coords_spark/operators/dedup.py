@@ -234,33 +234,47 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, threshold: float, text_
 
 def simhash64_col(text_col) -> F.Column:
     """SimHash-64 over whitespace tokens: weighted bit-vote of per-token
-    splitmix64 hashes — vectorized numpy inside an Arrow UDF (the bit-vote
-    matrix math has no built-in equivalent)."""
+    splitmix64 hashes — vectorized ACROSS the Arrow batch (one flat token
+    hash array + np.add.reduceat per-document bit votes; the r3 version
+    looped Python per document with per-doc numpy allocations, the one
+    scale-killer class left after the r3 audit)."""
 
     import zlib
 
     @F.pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split() if w]
-            if not toks:
-                out[i] = 0
-                continue
-            # stable token hash (crc32 seed -> splitmix64); NEVER python
-            # hash() — it is salted per process and would break determinism
-            hs = splitmix64(
-                np.asarray([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for clear
-            sim = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(b)
-            out[i] = int(np.uint64(sim).view(np.int64))
-        return pd.Series(out)
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        lens = np.fromiter((len(ts) for ts in toks_per_doc), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        # stable token hash (crc32 seed -> splitmix64); NEVER python hash()
+        # — it is salted per process and would break determinism. ONE
+        # comprehension + ONE splitmix64 over the whole batch's tokens.
+        crc = np.fromiter(
+            (zlib.crc32(w.encode()) for ts in toks_per_doc for w in ts),
+            dtype=np.uint64,
+            count=total,
+        )
+        hs = splitmix64(crc)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )  # (total_tokens, 64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # reduceat over NON-EMPTY docs only: their offsets are strictly
+        # increasing and in-bounds, so every segment is exact (zero-token
+        # docs would alias a neighbor's offset and corrupt segments)
+        nz = lens > 0
+        votes = np.add.reduceat(bits, starts[nz], axis=0) * 2 - lens[nz][:, None]
+        sim = np.zeros(n, dtype=np.uint64)
+        sim[nz] = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sim.view(np.int64))
 
     return _sh(text_col)
 
@@ -328,21 +342,26 @@ def embedding_near_dups(
     """Embedding-cosine near-dup: BANDED random-hyperplane LSH (candidate if
     any band's sign-signature matches — a single wide signature has ~28%
     recall at cosine 0.95; 4 bands of 4 planes give ~96%) + exact cosine
-    verification on collision pairs only."""
-    from coords_spark.operators.similarity import cosine_expr, lsh_bucket_col
+    verification on collision pairs only.
 
-    d = df.select(key, vec)
-    for band in range(n_bands):
-        d = d.withColumn(
-            f"b{band}", lsh_bucket_col(F.col(vec), planes_per_band, seed + 101 * band)
-        )
-    cands = None
-    for band in range(n_bands):
-        a = d.select(F.col(key).alias("id_a"), F.col(f"b{band}").alias("bv"))
-        b = d.select(F.col(key).alias("id_b"), F.col(f"b{band}").alias("bv"))
-        j = a.join(b, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = j if cands is None else cands.unionAll(j)
-    cands = cands.distinct()
+    Single-pass candidate plan (r4; mirrors minhash_lsh_candidates): ALL
+    band signatures are computed by one UDF matmul and exploded to (band,
+    sig) rows, then ONE self-join on (band, sig) generates candidates — the
+    r3 version unioned one self-join per band, re-scanning the vector table
+    (and re-running every band's UDF) n_bands+2 times."""
+    from coords_spark.operators.similarity import cosine_expr, lsh_band_buckets_col
+
+    bands = df.select(
+        key, lsh_band_buckets_col(F.col(vec), n_bands, planes_per_band, seed).alias("_bs")
+    ).select(key, F.posexplode("_bs").alias("band", "bv"))
+    a = bands.select(F.col(key).alias("id_a"), "band", "bv")
+    b = bands.select(F.col(key).alias("id_b"), "band", "bv")
+    cands = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = df.select(F.col(key).alias("id_a"), F.col(vec).alias("va"))
     vb = df.select(F.col(key).alias("id_b"), F.col(vec).alias("vb"))
     return (

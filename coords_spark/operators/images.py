@@ -21,6 +21,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,16 +43,59 @@ DECODE_ERRORS = (
     TypeError,  # None payload
 )
 
-# Executor-local observability for the broad DECODE_ERRORS net: every caught
-# decode failure is tallied by (fmt, exception class) so a kernel bug that
-# starts masquerading as per-row decode failures stays visible (inspect via
-# spark.sparkContext.parallelize / tests, or a debugger on the worker).
+# Observability for the broad DECODE_ERRORS net: every caught decode failure
+# is tallied by (fmt, exception class) so a kernel bug that starts
+# masquerading as per-row decode failures stays visible. Tallies flow to the
+# DRIVER through a Spark accumulator (read with decode_error_counts()) —
+# a plain module dict would live only in per-worker Python processes and
+# vanish when workers recycle. DECODE_ERROR_COUNTS remains as a worker-local
+# mirror for in-process debugging.
 DECODE_ERROR_COUNTS: dict[tuple[str, str], int] = {}
 
 
-def _note_decode_error(exc: BaseException, fmt) -> None:
+class _DictCountParam(AccumulatorParam):
+    """Dict-valued AccumulatorParam: merge {(fmt, exc): n} tallies."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, n in b.items():
+            a[k] = a.get(k, 0) + n
+        return a
+
+
+# one accumulator per SparkContext (a stale accumulator from a stopped
+# context would silently drop executor updates)
+_ACC_STATE: dict = {"ctx": None, "acc": None}
+
+
+def decode_error_accumulator():
+    """The per-context decode-error accumulator (None without an active
+    SparkContext — pure-kernel tests). Captured into UDF closures at
+    operator-construction time on the driver."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return None
+    if _ACC_STATE["ctx"] is not sc:
+        _ACC_STATE["ctx"] = sc
+        _ACC_STATE["acc"] = sc.accumulator({}, _DictCountParam())
+    return _ACC_STATE["acc"]
+
+
+def decode_error_counts() -> dict[tuple[str, str], int]:
+    """Driver-side view of all executors' decode-error tallies."""
+    acc = _ACC_STATE["acc"]
+    return dict(acc.value) if acc is not None else {}
+
+
+def _note_decode_error(exc: BaseException, fmt, acc=None) -> None:
     k = (str(fmt), type(exc).__name__)
     DECODE_ERROR_COUNTS[k] = DECODE_ERROR_COUNTS.get(k, 0) + 1
+    if acc is not None:
+        acc.add({k: 1})
 
 
 def _extended_schema(df: DataFrame, extra: list[tuple[str, str]]):
@@ -84,6 +128,7 @@ def with_payload_verification(
     deterministic expected text derived from (image_id, anchor(phash)) —
     the input_hint's "captions verified equal" invariant."""
     has_caption = "caption" in images.columns
+    _acc = decode_error_accumulator()
 
     # never .add() onto df.schema — it mutates the DataFrame's cached schema
     @F.pandas_udf("psnr double, phash_rec long, payload_ok boolean")
@@ -98,7 +143,7 @@ def with_payload_verification(
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
             except DECODE_ERRORS as e:
-                _note_decode_error(e, fmt.iloc[i])
+                _note_decode_error(e, fmt.iloc[i], _acc)
                 psnrs[i], hashes[i] = float("nan"), 0
                 continue
             ref = phash.procedural_image(iid.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
@@ -156,6 +201,7 @@ def with_decode_check_pandas(images: DataFrame, max_hamming_lossy: int = 8) -> D
     the JVM->Python boundary and only the small result struct comes back —
     the payload bytes are never serialized back out (2x less Arrow traffic
     on a payload-dominated table)."""
+    _acc = decode_error_accumulator()
 
     @F.pandas_udf("phash_rec long, decode_ok boolean")
     def _check(
@@ -168,7 +214,7 @@ def with_decode_check_pandas(images: DataFrame, max_hamming_lossy: int = 8) -> D
             try:
                 img = _decode(bytes(b.iloc[i]), fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
             except DECODE_ERRORS as e:
-                _note_decode_error(e, fmt.iloc[i])
+                _note_decode_error(e, fmt.iloc[i], _acc)
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmt.iloc[i]):
@@ -189,6 +235,8 @@ def with_decode_check_arrow(images: DataFrame, max_hamming_lossy: int = 8) -> Da
     Series of python bytes objects is ever materialized."""
     import pyarrow as pa
 
+    _acc = decode_error_accumulator()
+
     @F.arrow_udf("phash_rec long, decode_ok boolean")
     def _check(
         b: pa.Array, fmt: pa.Array, w: pa.Array, h: pa.Array, ph: pa.Array
@@ -204,7 +252,7 @@ def with_decode_check_arrow(images: DataFrame, max_hamming_lossy: int = 8) -> Da
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
             except DECODE_ERRORS as e:
-                _note_decode_error(e, fmts[i])
+                _note_decode_error(e, fmts[i], _acc)
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):
@@ -240,6 +288,7 @@ def with_decode_check_chunk(
     from coords_spark.operators.tiling import assign_chunks_np
 
     split_sorted = _np.sort(_np.asarray(split_set, dtype="int64"))
+    _acc = decode_error_accumulator()
 
     @F.arrow_udf("phash_rec long, decode_ok boolean, lat int, lon int, cell long, chunk_id long")
     def _full(
@@ -256,7 +305,7 @@ def with_decode_check_chunk(
             try:
                 img = _decode(b[i].as_buffer(), fmts[i], int(ws[i]), int(hs[i]))
             except DECODE_ERRORS as e:
-                _note_decode_error(e, fmts[i])
+                _note_decode_error(e, fmts[i], _acc)
                 continue
             hashes[i] = phash.blockhash64(img)
             if codec.is_lossless(fmts[i]):

@@ -11,20 +11,22 @@ whose cover rasterization was a driver-side loop over collect()ed rows):
      polygons DataFrame — the driver never touches ring payloads; only the
      DISTINCT COVER LEVELS (bounded by tree depth <= zcurve.MAX_LEVEL) are
      collected for join planning;
-  2. candidates: one broadcast equi-join per distinct cover level — images
-     match on (level, ancestor(cell, level)) — unioned (polygons are the
-     SMALL dimension: admin/coastline sets are O(10^2..10^5) while images
-     are O(10^12));
-  3. exact refine: candidates COGROUP with the polygon rings on poly_id —
-     ring payloads travel through the shuffle ONCE PER POLYGON (not per
-     candidate row, and never as a driver-built broadcast dict), and the
-     vectorized numpy ray-cast runs per (polygon, candidate-batch) group.
+  2. candidates: ONE broadcast equi-join on (level, ancestor(cell, level))
+     — points explode over the distinct cover levels (bounded by tree
+     depth) and the polygons are the SMALL broadcast dimension:
+     admin/coastline sets are O(10^2..10^5) while images are O(10^12);
+  3. exact refine: candidates COGROUP with the polygon rings on
+     (poly_id, salt) — ring payloads travel through the shuffle `salt`
+     times per polygon (not per candidate row, and never as a driver-built
+     broadcast dict), and the vectorized numpy ray-cast runs per
+     (polygon, salt, candidate-batch) group. The salt (default 8) spreads
+     a mega-polygon's candidates over `salt` tasks — applyInPandas
+     materializes whole groups, so an unsalted continent-scale polygon
+     would otherwise concentrate its entire candidate set in one task.
 
 No cross join ever materializes; candidate cardinality is bounded by cover
-selectivity. Refinement is exact, so cover-level choice affects cost only.
-Skew lever (documented, not default): a mega-polygon that attracts most
-candidates makes poly_id a hot cogroup key — salt the candidate side with
-pmod(xxhash64(point_key), S) and replicate that polygon's ring row S ways.
+selectivity. Refinement is exact, so cover-level choice affects cost only
+and the result set is salt-invariant (the ray-cast is per-row).
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coords_spark.kernels import mercator, pip, zcurve
-from coords_spark.operators.cells import ancestor_expr
+from coords_spark.operators.cells import ancestor_expr_col
 
 COVER_SCHEMA = "poly_id long, level int, cover_cell long"
 
@@ -98,34 +100,55 @@ def pip_enrich(
     polygons: DataFrame,
     max_cover: int = 64,
     point_key: str = "image_id",
+    salt: int = 8,
 ) -> DataFrame:
     """points: needs (point_key, lat, lon, cell at MAX_LEVEL via grid
     coords); polygons: (poly_id, outer, inners). Returns (point_key,
-    poly_id) containment pairs (outer ring minus holes, even-odd rule)."""
+    poly_id) containment pairs (outer ring minus holes, even-odd rule).
+
+    r4 plan changes:
+      * ONE broadcast equi-join on (level, cover_cell) — points explode
+        over the distinct cover levels (bounded by tree depth, typically
+        1-3) and compute the variable-level ancestor JVM-side; the r3 loop
+        of one-join-per-level + unionAll needed a leaked .cache() on the
+        cover to avoid recomputing it per level;
+      * the refine cogroup key is (poly_id, _salt) with _salt =
+        pmod(xxhash64(point_key), salt) and each ring row replicated
+        `salt` ways — a continent-scale polygon that attracts a huge share
+        of candidates now spreads over `salt` tasks instead of
+        concentrating in one (applyInPandas materializes whole groups).
+        The result set is salt-invariant: the ray-cast is per-row."""
     spark = points.sparkSession
     key_type = points.schema[point_key].dataType.simpleString()
     out_schema = f"{point_key} {key_type}, poly_id long"
+    salt = max(1, int(salt))
 
-    # small dim consumed once per distinct level + once for the level set:
-    # cache the rasterized covers (cells only — never ring payloads)
-    cover = polygon_covers(polygons, max_cover).cache()
+    # the cover is a small dim (poly_count x <= max_cover rows, never ring
+    # payloads); it is evaluated twice (level-set collect + the join) —
+    # cheaper than a session-lifetime .cache() leak
+    cover = polygon_covers(polygons, max_cover)
     levels = sorted(r["level"] for r in cover.select("level").distinct().collect())
     if not levels:
         return spark.createDataFrame([], out_schema)
 
-    # candidates: one broadcast equi-join per distinct cover level (bounded
-    # by tree depth); the cover table is poly_count x <= max_cover rows
+    lv_arr = ",".join(str(lv) for lv in levels)
     pts = points.select(point_key, "lat", "lon", "cell")
-    cands = None
-    for lv in levels:
-        c_lv = cover.filter(F.col("level") == lv).select("poly_id", "cover_cell")
-        p_lv = pts.withColumn("cover_cell", ancestor_expr("cell", lv))
-        j = p_lv.join(F.broadcast(c_lv), "cover_cell").select(point_key, "lat", "lon", "poly_id")
-        cands = j if cands is None else cands.unionAll(j)
+    p = pts.select(
+        "*", F.explode(F.expr(f"array({lv_arr})")).alias("level")
+    ).withColumn("cover_cell", ancestor_expr_col("cell", "level"))
+    cands = p.join(F.broadcast(cover), ["level", "cover_cell"]).select(
+        point_key, "lat", "lon", "poly_id"
+    )
+    cands = cands.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(point_key)), F.lit(salt)).cast("int")
+    )
 
     # exact refine: rings meet their candidate points via COGROUP on
-    # poly_id — each ring payload crosses the shuffle once per polygon
-    rings = polygons.select("poly_id", "outer", "inners")
+    # (poly_id, _salt) — each ring payload crosses the shuffle `salt` times
+    # (still never per candidate row, never a driver-built broadcast dict)
+    rings = polygons.select("poly_id", "outer", "inners").withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+    )
 
     def refine(cand_pdf: pd.DataFrame, poly_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0 or len(poly_pdf) == 0:
@@ -145,7 +168,7 @@ def pip_enrich(
         )
 
     return (
-        cands.groupBy("poly_id")
-        .cogroup(rings.groupBy("poly_id"))
+        cands.groupBy("poly_id", "_salt")
+        .cogroup(rings.groupBy("poly_id", "_salt"))
         .applyInPandas(refine, out_schema)
     )

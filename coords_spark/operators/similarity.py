@@ -91,6 +91,32 @@ def lsh_bucket_col(vec_col, n_planes: int = 12, seed: int = 7, dim: int | None =
     return _b(vec_col)
 
 
+def lsh_band_buckets_col(vec_col, n_bands: int, planes_per_band: int, seed: int = 7):
+    """array<int>: band b's sign-signature at index b — ALL bands from one
+    Arrow batch matmul against the concatenated plane matrix. Band b's
+    signature is bit-identical to lsh_bucket_col(vec, planes_per_band,
+    seed + 101*b), so banded consumers (embedding_near_dups) read the whole
+    signature set in ONE scan of the vector column instead of one
+    scan+matmul per band."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _bb(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        dim = mat.shape[1]
+        planes = np.concatenate(
+            [_planes(dim, planes_per_band, seed + 101 * b) for b in range(n_bands)]
+        )
+        signs = (mat @ planes.T) > 0  # (N, n_bands*planes_per_band)
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        sigs = signs.reshape(len(mat), n_bands, planes_per_band) @ weights
+        return pd.Series([row.astype("int32").tolist() for row in sigs])
+
+    return _bb(vec_col)
+
+
 def ann_topk(
     vectors: DataFrame,
     query_vec: list[float],

@@ -81,22 +81,55 @@ def with_token_counts(docs: DataFrame) -> DataFrame:
 
 def rolling_fingerprint_col(text_col, window: int = 8) -> F.Column:
     """Winnowing-style document fingerprint: min of rolling polynomial
-    hashes over byte windows — robust to small appends, vectorized numpy."""
+    hashes over byte windows — robust to small appends.
+
+    Vectorized ACROSS the Arrow batch (r4 rework of the r3 per-document
+    Python loop): all documents concatenate into ONE byte buffer, the
+    rolling hash runs once over it (`window` vectorized ops for the whole
+    batch), boundary-crossing windows are masked to u64-max, and per-doc
+    minima come from one np.minimum.reduceat. Documents shorter than the
+    window keep the byte-sum fingerprint via a prefix-sum difference."""
 
     @F.pandas_udf(LongType())
     def _fp(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        bufs = [(t or "").lower().encode() for t in texts]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        # short docs (len < window): fingerprint = byte sum, exact via
+        # prefix-sum difference (reduceat segments would leak across docs)
+        cs = np.concatenate([np.zeros(1, dtype=np.uint64), np.cumsum(flat)])
+        short = lens < window
+        out[short] = (cs[ends[short]] - cs[starts[short]]).view(np.int64)
+        long_ = ~short
+        if not long_.any():
+            return pd.Series(out)
         B = np.uint64(1000003)
-        for i, t in enumerate(texts):
-            data = np.frombuffer((t or "").lower().encode(), dtype=np.uint8).astype(np.uint64)
-            if len(data) < window:
-                out[i] = int(data.sum())
-                continue
-            with np.errstate(over="ignore"):
-                h = np.zeros(len(data) - window + 1, dtype=np.uint64)
-                for j in range(window):
-                    h = h * B + data[j : len(data) - window + 1 + j]
-            out[i] = int(np.uint64(h.min()).view(np.int64))
+        pad = np.concatenate([flat, np.zeros(window - 1, dtype=np.uint64)])
+        with np.errstate(over="ignore"):
+            h = np.zeros(total, dtype=np.uint64)
+            for j in range(window):
+                h = h * B + pad[j : j + total]
+        # mask every position whose window crosses a doc boundary (and all
+        # positions of short docs) so segment minima never leak across docs
+        inv_start = np.maximum(starts, ends - window + 1)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, inv_start, 1)
+        np.add.at(delta, ends, -1)
+        h[np.cumsum(delta[:-1]) > 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # reduceat over long docs only: offsets strictly increasing, and
+        # interleaved short docs' positions are masked to u64-max
+        mins = np.minimum.reduceat(h, starts[long_])
+        out[long_] = mins.view(np.int64)
         return pd.Series(out)
 
     return _fp(text_col)

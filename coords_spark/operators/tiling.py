@@ -49,23 +49,30 @@ def _level_col(cell) -> F.Column:
     return cell.bitwiseAND(F.lit(int(zcurve.LEVEL_MASK)))
 
 
-def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> DataFrame:
-    """Per-quadtree-node subtree byte size for levels 0..base_level.
+def _capped_per_cell(df: DataFrame, cell: str, nbytes: str, base_level: int) -> DataFrame:
+    """(c, b): byte sums per DISTINCT cell capped at base_level — the shared
+    pre-aggregation of subtree_sizes and compute_split_set_and_weights (ONE
+    definition: the chunking semantics and the oracle depend on it).
 
-    A row at cell level L contributes to its ancestors at levels 0..min(L,
-    base). Returns (node: long, sub_bytes: long). One shuffle: pre-agg per
-    capped cell, then a 14-way union rolled up in a single groupBy."""
-    capped = df.select(F.col(cell).alias("c"), F.col(nbytes).alias("b")).select(
-        F.when(_level_col(F.col("c")) > base_level, ancestor_expr("c", base_level))
-        .otherwise(F.col("c"))
-        .alias("c"),
-        "b",
+    One shuffle: partial+final hash agg down to distinct cells (map-side
+    combine makes this cheap). The input is scanned exactly once."""
+    return (
+        df.select(F.col(cell).alias("c"), F.col(nbytes).alias("b"))
+        .select(
+            F.when(_level_col(F.col("c")) > base_level, ancestor_expr("c", base_level))
+            .otherwise(F.col("c"))
+            .alias("c"),
+            "b",
+        )
+        .groupBy("c")
+        .agg(F.sum("b").alias("b"))
     )
-    # shuffle 1: partial+final hash agg down to distinct cells (map-side
-    # combine makes this cheap); shuffle 2: explode each cell into its
-    # ancestor chain (<= base_level+1 rows per cell, all JVM-side bit math)
-    # and roll up. The input is scanned exactly once.
-    per_cell = capped.groupBy("c").agg(F.sum("b").alias("b"))
+
+
+def _ancestor_rollup(per_cell: DataFrame) -> DataFrame:
+    """(node, sub_bytes): roll each distinct cell up its ancestor chain
+    (<= base_level+1 rows per cell, all JVM-side bit math) — the shared
+    second stage over _capped_per_cell's output."""
     anc = (
         f"transform(sequence(0, cast(c & {int(zcurve.LEVEL_MASK)} as int)), "
         f"l -> cast(shiftleft(shiftrightunsigned(shiftrightunsigned(c, {zcurve.LEVEL_BITS}), "
@@ -76,6 +83,14 @@ def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> Dat
         .groupBy("node")
         .agg(F.sum("b").alias("sub_bytes"))
     )
+
+
+def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> DataFrame:
+    """Per-quadtree-node subtree byte size for levels 0..base_level.
+
+    A row at cell level L contributes to its ancestors at levels 0..min(L,
+    base). Returns (node: long, sub_bytes: long). Two exchanges total."""
+    return _ancestor_rollup(_capped_per_cell(df, cell, nbytes, base_level))
 
 
 def compute_split_set(
@@ -114,24 +129,11 @@ def compute_split_set_and_weights(
     driver-computed allocation instead of repartitionByRange — whose range
     sampling is a second full evaluation of the input (including the
     Python anchor stage) at 10^12 rows. See materialize_chunk_table."""
-    capped = df.select(F.col(cell).alias("c"), F.col(nbytes).alias("b")).select(
-        F.when(_level_col(F.col("c")) > base_level, ancestor_expr("c", base_level))
-        .otherwise(F.col("c"))
-        .alias("c"),
-        "b",
-    )
-    per_cell = capped.groupBy("c").agg(F.sum("b").alias("b"))
+    per_cell = _capped_per_cell(df, cell, nbytes, base_level)
     per_cell.persist()
     try:
-        anc = (
-            f"transform(sequence(0, cast(c & {int(zcurve.LEVEL_MASK)} as int)), "
-            f"l -> cast(shiftleft(shiftrightunsigned(shiftrightunsigned(c, {zcurve.LEVEL_BITS}), "
-            f"2 * (cast(c & {int(zcurve.LEVEL_MASK)} as int) - l)), {zcurve.LEVEL_BITS}) | l as long))"
-        )
         split_rows = (
-            per_cell.select(F.explode(F.expr(anc)).alias("node"), "b")
-            .groupBy("node")
-            .agg(F.sum("b").alias("sub_bytes"))
+            _ancestor_rollup(per_cell)
             .filter(F.col("sub_bytes") > max_bytes)
             .select("node")
             .collect()

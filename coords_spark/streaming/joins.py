@@ -38,9 +38,14 @@ def click_purchase_interval_join(
         F.col("ts").cast("timestamp").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
-    if clicks.isStreaming and watermark is not None:
-        c = c.withWatermark("click_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
+    # per-side gate: withWatermark is only legal (and only meaningful) on a
+    # streaming DataFrame — a mixed batch/stream call must still watermark
+    # the streaming side, or its join state grows without bound
+    if watermark is not None:
+        if clicks.isStreaming:
+            c = c.withWatermark("click_ts", watermark)
+        if purchases.isStreaming:
+            p = p.withWatermark("purchase_ts", watermark)
     cond = (
         (F.col("c_user") == F.col("user_id"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
