@@ -1641,6 +1641,43 @@ def icepick_roundtrip_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("geo_render_bbox", None)
+def geo_render_bbox(spark, sf):
+    """The reference's primary user-facing READ (SURVEY §2.1 S5 / §3 E3
+    render path): bbox+zoom viewport fetch. Chunks the order-derived points
+    into an icepick table, then reads the London viewport through the full
+    pruning stack — bbox cover -> per-level chunk-id ranges (quadtree walk)
+    -> multi-range manifest file pruning -> OR-of-BETWEENs row-group filter
+    -> exact bbox predicate — and aggregates per chunk. Golden twin
+    replicates the bbox filter + chunk assignment scalar-side."""
+    import shutil
+    import tempfile
+
+    from coords_spark.operators import ingest, tiling
+
+    pts = ingest.with_point_cell(_points_from_orders(spark, sf), tiling.DEFAULT_BASE_LEVEL)
+    pts = pts.withColumn("nbytes", F.lit(128).cast("long"))
+    split = tiling.compute_split_set(pts, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    tmp = tempfile.mkdtemp(prefix="render_bbox_")
+    try:
+        path = f"{tmp}/points"
+        tiling.materialize_chunk_table(chunked.withColumnRenamed("key", "image_id"), path)
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London viewport
+        got = ingest.render_read(spark, path, bbox, zoom=12, base_level=tiling.DEFAULT_BASE_LEVEL)
+        return (
+            got.groupBy("chunk_id")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.sum(F.col("image_id").cast("long")).alias("key_sum"),
+            )
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("embedding_ann_join_topk", None)
 def embedding_ann_join_topk(spark, sf):
     """Query-SET ANN as a bucketed equi-join (the 100 TB shape: vectors

@@ -212,6 +212,54 @@ def cell_disk(cell: int, r: int) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
+def _merge_ranges(lo: np.ndarray, hi: np.ndarray) -> list[tuple[int, int]]:
+    """Merge sorted [lo, hi] inclusive integer ranges that touch/overlap."""
+    out: list[tuple[int, int]] = []
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        if out and a <= out[-1][1] + 1:
+            if b > out[-1][1]:
+                out[-1] = (out[-1][0], b)
+        else:
+            out.append((a, b))
+    return out
+
+
+def bbox_cover_ranges(
+    gx0: int, gy0: int, gx1: int, gy1: int, zoom: int, max_level: int = MAX_LEVEL
+) -> list[tuple[int, int]]:
+    """Inclusive CELL-ID ranges covering every cell at levels 0..max_level
+    that may intersect the envelope [gx0,gx1]x[gy0,gy1] (MAX_LEVEL grid
+    units) — the quadtree walk of a bbox+zoom render query, as ranges.
+
+    Construction per level L (driver-side, bounded by |cover at zoom| x
+    levels — never data-sized):
+      * L <  zoom: the EXACT set of level-L cells intersecting the bbox is
+        the ancestor set of the zoom-level cover (a level-L cell intersects
+        the bbox iff one of its zoom-level descendants does);
+      * L >= zoom: the descendants of each cover cell form ONE contiguous
+        zcode range of width 4^(L-zoom) — a conservative superset of the
+        intersecting cells (exactness is not needed: readers re-filter
+        rows by the bbox; ranges only drive file/row-group pruning).
+    Adjacent/overlapping ranges merge per level, so a viewport's range
+    count stays ~O(rows-of-cover x levels)."""
+    zoom = int(min(max(zoom, 0), MAX_LEVEL))
+    max_level = int(min(max_level, MAX_LEVEL))
+    cover = cover_envelope(gx0, gy0, gx1, gy1, zoom)
+    zc = np.sort(cell_zcode(cover).astype(np.int64))
+    ranges: list[tuple[int, int]] = []
+    for lv in range(0, max_level + 1):
+        if lv < zoom:
+            anc = np.unique(zc >> np.int64(2 * (zoom - lv)))
+            lo = hi = anc
+        else:
+            shift = np.int64(2 * (lv - zoom))
+            lo = zc << shift
+            hi = ((zc + 1) << shift) - 1
+        for a, b in _merge_ranges(lo, hi):
+            ranges.append((int(cell_make(a, lv)), int(cell_make(b, lv))))
+    return ranges
+
+
 def cover_envelope(gx0, gy0, gx1, gy1, level: int) -> np.ndarray:
     """All level-`level` cells intersecting the envelope (scalar envelope).
 

@@ -102,6 +102,77 @@ def ingest_images(
     return table, split_set
 
 
+def bbox_grid(lat0_i32: int, lon0_i32: int, lat1_i32: int, lon1_i32: int) -> tuple[int, int, int, int]:
+    """(gx0, gy0, gx1, gy1) MAX_LEVEL grid envelope of a lat/lon-i32 bbox.
+    Web-mercator flips y (higher latitude -> smaller gy), so the corner
+    grid coords are min/max-normalized."""
+    import numpy as np
+
+    from coords_spark.kernels import mercator, zcurve
+
+    la = np.asarray([lat0_i32, lat1_i32], dtype=np.int64)
+    lo = np.asarray([lon0_i32, lon1_i32], dtype=np.int64)
+    ux, uy = mercator.latlon_i32_to_unit(la, lo)
+    gx, gy = zcurve.unit_to_grid(ux, uy)
+    return int(gx.min()), int(gy.min()), int(gx.max()), int(gy.max())
+
+
+def render_read(
+    spark,
+    table_path: str,
+    bbox_i32: tuple[int, int, int, int],
+    zoom: int,
+    base_level: int = T.DEFAULT_BASE_LEVEL,
+    max_chunk_filter_ranges: int = 256,
+) -> DataFrame:
+    """The primary user-facing READ: viewport fetch — all rows whose anchor
+    falls inside bbox_i32 = (lat_min, lon_min, lat_max, lon_max) in 1e-7
+    fixed-point degrees, at a render `zoom` level.
+
+    Pruning stack (coarse -> exact):
+      1. the bbox covers at `zoom` decompose into inclusive chunk-id ranges
+         for every level 0..base_level (zcurve.bbox_cover_ranges — the
+         quadtree walk of the viewport, driver-side, bounded);
+      2. manifest file pruning: only data files whose chunk min/max lineage
+         overlaps some range are read (IcepickTable.data_paths_ranges) —
+         planning-time, before Spark sees a path;
+      3. row-group pruning: the same ranges become an OR-of-BETWEENs filter
+         on chunk_id (pushed to parquet; data lands sorted by chunk_id so
+         row groups carry tight min/max) — skipped above
+         max_chunk_filter_ranges to keep codegen sane;
+      4. the EXACT bbox predicate on (lat, lon) — the semantic contract;
+         everything above only shrinks I/O.
+
+    Returns an empty DataFrame with the table schema when nothing overlaps."""
+    from coords_spark.kernels import zcurve
+    from coords_spark.sources.icepick import IcepickTable
+
+    lat0, lon0, lat1, lon1 = bbox_i32
+    lat0, lat1 = min(lat0, lat1), max(lat0, lat1)
+    lon0, lon1 = min(lon0, lon1), max(lon0, lon1)
+    gx0, gy0, gx1, gy1 = bbox_grid(lat0, lon0, lat1, lon1)
+    ranges = zcurve.bbox_cover_ranges(gx0, gy0, gx1, gy1, zoom, max_level=base_level)
+    t = IcepickTable(table_path)
+    paths = t.data_paths_ranges(ranges)
+    if not paths:
+        # schema from the manifest's first file (never scan data)
+        all_paths = t.data_paths()
+        if not all_paths:
+            raise FileNotFoundError(f"empty table at {table_path}")
+        empty = spark.read.parquet(all_paths[0]).limit(0)
+        return empty
+    df = spark.read.parquet(*paths)
+    if 0 < len(ranges) <= max_chunk_filter_ranges:
+        cond = None
+        for lo, hi in ranges:
+            c = F.col("chunk_id").between(lo, hi)
+            cond = c if cond is None else cond | c
+        df = df.filter(cond)
+    return df.filter(
+        F.col("lat").between(lat0, lat1) & F.col("lon").between(lon0, lon1)
+    )
+
+
 def read_chunk_table(spark, table_path: str, chunk_min: int | None = None, chunk_max: int | None = None) -> DataFrame:
     """Manifest-pruned read: only files overlapping [chunk_min, chunk_max]
     reach Spark; parquet row-group pruning then applies within files."""

@@ -228,6 +228,29 @@ class IcepickTable:
             out.append(os.path.join(self.path, e["path"]))
         return out
 
+    def data_paths_ranges(
+        self,
+        ranges: list[tuple[int, int]],
+        version: int | None = None,
+    ) -> list[str]:
+        """Absolute data-file paths overlapping ANY of the inclusive
+        [lo, hi] chunk-id ranges — the multi-range manifest pruning behind
+        bbox+zoom render reads (one overlap test per (file, range) against
+        manifest min/max lineage; both lists are small and driver-side).
+        Files without chunk lineage are conservatively kept."""
+        if not ranges:
+            return []
+        rs = sorted(ranges)
+        out = []
+        for e in self.files(version):
+            cmin, cmax = e.get("chunk_min"), e.get("chunk_max")
+            if cmin is None or cmax is None:
+                out.append(os.path.join(self.path, e["path"]))
+                continue
+            if any(lo <= cmax and hi >= cmin for lo, hi in rs):
+                out.append(os.path.join(self.path, e["path"]))
+        return out
+
     def total_rows(self) -> int:
         return sum(e["rows"] for e in self.files())
 

@@ -121,3 +121,38 @@ def test_bounds():
 def test_scalar_inputs(level):
     c = zc.cell_from_point(1000, 2000, level)
     assert int(zc.cell_level(c)) == level
+
+
+def test_bbox_cover_ranges_complete_and_tight():
+    """Every cell at every level intersecting the bbox must fall inside some
+    range (completeness — file pruning must never drop a viewport file);
+    below the query zoom the ranges must be EXACT (no spurious cells)."""
+    from coords_spark.kernels import zcurve
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        zoom = int(rng.integers(2, 9))
+        max_level = int(rng.integers(zoom, 11))
+        gx0 = int(rng.integers(0, zcurve.GRID - 2))
+        gy0 = int(rng.integers(0, zcurve.GRID - 2))
+        gx1 = min(gx0 + int(rng.integers(1, zcurve.GRID // 64)), zcurve.GRID - 1)
+        gy1 = min(gy0 + int(rng.integers(1, zcurve.GRID // 64)), zcurve.GRID - 1)
+        ranges = zcurve.bbox_cover_ranges(gx0, gy0, gx1, gy1, zoom, max_level)
+        by_level: dict[int, list[tuple[int, int]]] = {}
+        for lo, hi in ranges:
+            lv = int(zcurve.cell_level(np.asarray(lo)))
+            assert lv == int(zcurve.cell_level(np.asarray(hi)))
+            by_level.setdefault(lv, []).append((lo, hi))
+        assert sorted(by_level) == list(range(max_level + 1))
+        for lv in range(max_level + 1):
+            cells = zcurve.cover_envelope(gx0, gy0, gx1, gy1, lv)
+            rs = by_level[lv]
+            for c in cells.tolist():
+                assert any(lo <= c <= hi for lo, hi in rs), (lv, c)
+            if lv <= zoom:
+                # exactness below/at the zoom: total range width == |cells|
+                width = sum(
+                    (int(zcurve.cell_zcode(np.asarray(hi))) - int(zcurve.cell_zcode(np.asarray(lo))) + 1)
+                    for lo, hi in rs
+                )
+                assert width == len(cells), (lv, width, len(cells))

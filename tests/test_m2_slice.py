@@ -197,3 +197,63 @@ def test_materialize_with_weights_matches_legacy(spark, images_df, tmp_path_fact
     a = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*ta.data_paths()).select("image_id", "chunk_id").collect()}
     b = {(r["image_id"], r["chunk_id"]) for r in spark.read.parquet(*tb.data_paths()).select("image_id", "chunk_id").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bbox+zoom render read (S5 multi-range pruning; VERDICT r3 ask #1)
+# ---------------------------------------------------------------------------
+
+_LONDON_BBOX = (
+    int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7)
+)  # (lat_min, lon_min, lat_max, lon_max) i32 — around the London hotspot
+
+
+def _bbox_filter(df, bbox):
+    lat0, lon0, lat1, lon1 = bbox
+    return df.filter(F.col("lat").between(lat0, lat1) & F.col("lon").between(lon0, lon1))
+
+
+def test_render_read_matches_bruteforce(spark, engine_result):
+    table, _, out = engine_result
+    full = spark.read.parquet(*table.data_paths())
+    for zoom in (4, 8, 12):
+        got = sorted(
+            r[0]
+            for r in ingest.render_read(
+                spark, out, _LONDON_BBOX, zoom, base_level=BASE_LEVEL
+            ).select("image_id").collect()
+        )
+        want = sorted(r[0] for r in _bbox_filter(full, _LONDON_BBOX).select("image_id").collect())
+        assert got == want and len(got) > 0, (zoom, len(got), len(want))
+
+
+def test_render_read_empty_viewport(spark, engine_result):
+    table, _, out = engine_result
+    # mid-Pacific viewport far from every hotspot/coast fixture point
+    bbox = (int(-45.0e7), int(-155.0e7), int(-44.0e7), int(-154.0e7))
+    df = ingest.render_read(spark, out, bbox, zoom=10, base_level=BASE_LEVEL)
+    assert df.count() == 0
+    assert "image_id" in df.columns  # schema survives the empty path
+
+
+def test_render_read_prunes_manifest_files(spark, engine_result):
+    """The multi-range manifest pruning must actually SKIP files whose chunk
+    lineage cannot overlap a small viewport."""
+    from coords_spark.kernels import zcurve
+
+    table, _, out = engine_result
+    small = (int(51.2e7), int(-0.5e7), int(51.8e7), int(0.3e7))  # ~0.6 x 0.8 deg
+    gx0, gy0, gx1, gy1 = ingest.bbox_grid(*small)
+    ranges = zcurve.bbox_cover_ranges(gx0, gy0, gx1, gy1, zoom=12, max_level=BASE_LEVEL)
+    pruned = table.data_paths_ranges(ranges)
+    everything = table.data_paths()
+    assert 0 < len(pruned) < len(everything), (len(pruned), len(everything))
+    # and the pruned read still returns the exact bbox row set
+    got = sorted(
+        r[0]
+        for r in ingest.render_read(spark, out, small, 12, base_level=BASE_LEVEL)
+        .select("image_id").collect()
+    )
+    full = spark.read.parquet(*everything)
+    want = sorted(r[0] for r in _bbox_filter(full, small).select("image_id").collect())
+    assert got == want

@@ -704,9 +704,33 @@ def g_icepick_roundtrip_stats():
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
 
 
+def g_geo_render_bbox():
+    """Independent scalar twin of the bbox+zoom render read: filter the
+    order-derived points to the London viewport (inclusive i32 bbox on the
+    anchor lat/lon), assign chunks with the minicoords split rules, and
+    aggregate (count, key sum) per chunk."""
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    gx, gy = _grid_int(ux, uy)
+    cells = [mc.cell_id(int(x), int(y), BASE_LEVEL) for x, y in zip(gx, gy)]
+    splits = mc.split_set([(c, 128) for c in cells], 64 * 1024, BASE_LEVEL)
+    lat0, lon0, lat1, lon1 = 500000000, -20000000, 530000000, 18000000
+    agg: dict[int, list[int]] = {}
+    for i, c in enumerate(cells):
+        if not (lat0 <= lat[i] <= lat1 and lon0 <= lon[i] <= lon1):
+            continue
+        ch = mc.assign_chunk(c, splits, BASE_LEVEL)
+        a = agg.setdefault(ch, [0, 0])
+        a[0] += 1
+        a[1] += int(keys[i])
+    rows = [(ch, n, s) for ch, (n, s) in sorted(agg.items())]
+    return ["chunk_id", "n_points", "key_sum"], rows, {}
+
+
 GENERATORS = {
     "embedding_ann_join_topk": g_embedding_ann_join_topk,
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
+    "geo_render_bbox": g_geo_render_bbox,
     "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
