@@ -1641,6 +1641,65 @@ def icepick_roundtrip_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("cpbf_ingest_stats", None)
+def cpbf_ingest_stats(spark, sf):
+    """S1 PBF-shaped front door (SURVEY §2.1): the entity fixtures are
+    ENCODED into the cpbf blocked varint/delta/string-table format, decoded
+    back through Spark (binaryFile + mapInArrow, one vectorized varint pass
+    per block), and checksummed per entity kind — ids, coordinates, ref
+    lists and tag strings (crc32 per k=v entry) must all survive the
+    codec. Golden twin computes the same sums from the fixture tables
+    directly, so any codec bit-slip breaks the hash."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.sources import cpbf
+
+    tmp = tempfile.mkdtemp(prefix="cpbf_")
+    try:
+        cpbf.write_cpbf(gen_nodes(4000), f"{tmp}/nodes", cpbf.KIND_NODES,
+                        rows_per_block=512, blocks_per_file=3)
+        cpbf.write_cpbf(gen_ways(600, 4000), f"{tmp}/ways", cpbf.KIND_WAYS,
+                        rows_per_block=97, blocks_per_file=2)
+        nd = cpbf.read_cpbf(spark, f"{tmp}/nodes", cpbf.KIND_NODES)
+        wd = cpbf.read_cpbf(spark, f"{tmp}/ways", cpbf.KIND_WAYS)
+        tag_crc = (
+            "aggregate(transform(map_entries(tags), "
+            "e -> crc32(cast(concat(e.key, '=', e.value) as binary))), "
+            "0L, (a, x) -> a + x)"
+        )
+        n_stats = nd.select(
+            F.lit("nodes").alias("kind"),
+            "id",
+            (F.col("lat").cast("long") + F.col("lon").cast("long")).alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
+        w_stats = wd.select(
+            F.lit("ways").alias("kind"),
+            "id",
+            F.expr("aggregate(refs, 0L, (a, x) -> a + x)").alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
+        return (
+            n_stats.unionAll(w_stats)
+            .groupBy("kind")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("id").alias("id_sum"),
+                F.sum("payload").alias("payload_sum"),
+                F.sum("ntags").alias("n_tags"),
+                F.sum("tcrc").alias("tag_crc_sum"),
+            )
+            .orderBy("kind")
+            .localCheckpoint()  # materialize before the tmp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("geo_render_bbox", None)
 def geo_render_bbox(spark, sf):
     """The reference's primary user-facing READ (SURVEY §2.1 S5 / §3 E3
@@ -1999,17 +2058,22 @@ except ImportError:  # goldens not generated yet
 
 
 # ===========================================================================
-# Registration-order window (round-3 verdict #1): the driver hash-checks the
-# FIRST 50 registered queries only. Front-load the operators whose only other
-# evidence is builder-controlled — the spatial resolve/tiling/LOD/
-# multipolygon chain, the icepick store roundtrip, LSH pair generation, ANN,
-# and the streaming stateful/exactly-once surfaces — and rotate simple
-# scalar-function twins (consolidated into scalar_functions_suite) plus
-# shared-plan-shape agg/set/window variants behind the window. Everything
-# past slot 50 still runs in tools/check_oracle.py and pytest.
+# Registration-order window: the driver hash-checks the FIRST 50 registered
+# queries only. Round-4 rotation (round-3 verdict #2): the 22 queries that
+# had no driver row in CORRECTNESS_r03 — including the 4 with no driver row
+# in ANY round (text_quality_scored, dedup_embedding_cosine_pairs,
+# embedding_ivf_topk, and the new geo_render_bbox) — move IN; 22 r3-green
+# queries whose plan shapes are duplicated by an in-window representative
+# (q1/rollup/cube/pivot aggs, broadcast/semi/outer/range/asof joins,
+# rank/topk windows, set ops, per-family scalar twins) rotate OUT. The 28
+# keepers are the operators whose shape exists nowhere else: the spatial
+# resolve/tiling/LOD/multipolygon/render chain, the icepick store, LSH/ANN,
+# payload decode, and the streaming stateful/exactly-once surfaces.
+# Everything past slot 50 still runs in tools/check_oracle.py and pytest,
+# archived per-round in BENCH/oracle_r{N}.txt.
 # ===========================================================================
 _WINDOW_FIRST = [
-    # formerly-dark spatial chain + store (round-2 positions 51-65)
+    # unique-shape keepers (spatial chain + store + streaming + LSH/ANN)
     "geo_coastline_classify",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
@@ -2022,48 +2086,48 @@ _WINDOW_FIRST = [
     "geo_node_way_reverse_index",
     "icepick_roundtrip_stats",
     "osm_tag_histogram",
-    "pivot_priority_by_status",
-    "percentile_prices_by_priority",
-    # new this round: streaming stateful + exactly-once ingest + fn suite
     "stateful_running_user_stats",
     "ingest_ledger_invariant",
     "scalar_functions_suite",
-    # spatial joins already driver-green (keep them that way)
     "geo_pip_enrich",
     "geo_knn_ring",
     "geo_raster_vector_align",
     "payload_decode_verify",
-    # one representative per remaining operator family
-    "q1_pricing_summary",
-    "rollup_status_priority",
-    "cube_brand_type",
-    "q3_top_orders",
-    "q5_region_nation_revenue",
-    "broadcast_region_rollup",
-    "semi_join_active_customers",
-    "outer_join_priority_fill",
-    "range_join_error_clicks",
-    "asof_last_click_before_purchase",
-    "window_top3_per_customer",
-    "window_rank_dense_ntile",
-    "topk_global_lineitems",
-    "set_intersect_nations",
-    "union_labels",
-    "dedup_exact_stats",
     "dedup_keep_first",
     "minhash_band_signature",
     "ngram_jaccard_pairs",
-    "text_quality_by_source",
-    "langid_heuristic",
-    "token_stats_by_lang",
     "doc_fingerprint_distinct",
     "knn_cosine_top10",
     "tumbling_window_event_counts",
     "session_window_stats",
-    "stream_click_purchase_join",  # stream-stream interval join (r3); the
-    # sliding-window variant rotates out (tumbling pins the same plan shape)
-    "watermark_dedup_counts",
-    "approx_distinct_customers",
+    "stream_click_purchase_join",
+    # never driver-checked in any round (r3 verdict #2; watermark_dedup_counts
+    # rotates out — tumbling/session/stream-stream/stateful/ledger keep the
+    # streaming family pinned in-window)
+    "cpbf_ingest_stats",
+    "geo_render_bbox",
+    "text_quality_scored",
+    "dedup_embedding_cosine_pairs",
+    "embedding_ivf_topk",
+    # no driver row in r3 (had rows in r1/r2 under the old ordering)
+    "stats_global_orders",
+    "distinct_parts_per_supplier",
+    "grouping_sets_nation_region",
+    "having_big_customers",
+    "bucket_totalprice",
+    "anti_join_idle_customers",
+    "exists_discounted_orders",
+    "window_running_user_value",
+    "window_lag_delta",
+    "set_except_nations",
+    "set_except_all_segments",
+    "string_funcs_parts",
+    "date_buckets_orders",
+    "json_props_stats",
+    "math_funcs_suppliers",
+    "case_when_segments",
+    "embedding_norms_by_label",
+    "sliding_window_user_counts",
 ]
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))

@@ -1,0 +1,279 @@
+"""cpbf — a COORDS/PBF-shaped blocked binary entity format (SURVEY.md §2.1
+S1, the reference's front door; REF? src/osm/osmParser* [M] — mount empty,
+shape per SURVEY §0: varint + delta + per-block string table behind zlib).
+
+Layout (stdlib + numpy only — no protobuf):
+
+    file  := b"CPBF\\x01" block*
+    block := u32le comp_len, zlib(body)
+    body  := u8 kind (0=nodes, 1=ways), u32le count,
+             u32le numstream_len, numstream, strdata
+
+`numstream` is ONE contiguous LEB128 uvarint stream (kernels/varint.py
+decodes it in a single vectorized pass), sliced by known counts:
+
+    nodes: [n_strings][str_len x S][zz-delta id x n][zz-delta lat x n]
+           [zz-delta lon x n][version x n][ntags x n][tag k,v idx x 2T]
+    ways:  [n_strings][str_len x S][zz-delta id x n][version x n]
+           [nrefs x n][zz per-way-delta refs x R][ntags x n][k,v idx x 2T]
+
+`strdata` is the block's string table, concatenated utf8 sliced by the
+str_len entries. Every block is self-describing and independently
+decodable — the parallelism unit, exactly like PBF blobs. The Spark reader
+maps `binaryFile` rows through mapInArrow (one task per file; writers
+bound file size via blocks_per_file so a large extract splits across the
+cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from coords_spark.kernels import varint as V
+
+MAGIC = b"CPBF\x01"
+KIND_NODES = 0
+KIND_WAYS = 1
+
+NODE_SCHEMA = "id long, version int, lat int, lon int, tags map<string,string>"
+WAY_SCHEMA = "id long, version int, refs array<long>, tags map<string,string>"
+
+
+# ---------------------------------------------------------------------------
+# encode (driver/fixture side)
+# ---------------------------------------------------------------------------
+
+
+def _string_table(keys: np.ndarray, items: np.ndarray) -> tuple[list[bytes], np.ndarray, np.ndarray]:
+    """Unique strings over the block's tag keys+values -> (table, key idx,
+    item idx)."""
+    all_s = np.concatenate([keys, items]) if keys.size or items.size else np.empty(0, dtype=object)
+    uniq, inv = np.unique(all_s.astype(str), return_inverse=True) if all_s.size else (
+        np.empty(0, dtype=str),
+        np.empty(0, dtype=np.int64),
+    )
+    return (
+        [s.encode() for s in uniq.tolist()],
+        inv[: keys.size].astype(np.int64),
+        inv[keys.size :].astype(np.int64),
+    )
+
+
+def _tags_of(tbl: pa.Table, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ntags per row, flat keys, flat items) for rows [lo, hi)."""
+    col = tbl.column("tags").combine_chunks()
+    sl = col.slice(lo, hi - lo)
+    # a sliced MapArray's offsets stay ABSOLUTE into the full child arrays
+    off = sl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    ntags = off[1:] - off[:-1]
+    a, b = int(off[0]), int(off[-1])
+    keys = np.asarray(col.keys.slice(a, b - a).to_pylist(), dtype=object)
+    items = np.asarray(col.items.slice(a, b - a).to_pylist(), dtype=object)
+    return ntags, keys, items
+
+
+def _encode_block(tbl: pa.Table, lo: int, hi: int, kind: int) -> bytes:
+    n = hi - lo
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
+    ver = tbl.column("version").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
+    ntags, keys, items = _tags_of(tbl, lo, hi)
+    strings, kidx, iidx = _string_table(keys, items)
+    parts: list[np.ndarray] = [
+        np.asarray([len(strings)], dtype=np.uint64),
+        np.asarray([len(s) for s in strings], dtype=np.uint64),
+        V.zigzag(V.delta_encode(ids)),
+    ]
+    if kind == KIND_NODES:
+        lat = tbl.column("lat").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
+        lon = tbl.column("lon").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
+        parts += [
+            V.zigzag(V.delta_encode(lat)),
+            V.zigzag(V.delta_encode(lon)),
+            ver.astype(np.uint64),
+        ]
+    elif kind == KIND_WAYS:
+        col = tbl.column("refs").combine_chunks().slice(lo, n)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nrefs = off[1:] - off[:-1]
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = flat[off[0] : off[-1]]
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nrefs[:-1], out=seg_starts[1:])
+        deltas = V.delta_encode(flat)
+        deltas[seg_starts] = flat[seg_starts]  # per-way restart: first ref absolute
+        parts += [ver.astype(np.uint64), nrefs.astype(np.uint64), V.zigzag(deltas)]
+    else:
+        raise ValueError(f"unknown kind {kind}")
+    kv = np.empty(2 * kidx.size, dtype=np.uint64)
+    kv[0::2] = kidx.astype(np.uint64)
+    kv[1::2] = iidx.astype(np.uint64)
+    parts += [ntags.astype(np.uint64), kv]
+    numstream = V.encode_uvarints(np.concatenate(parts))
+    body = (
+        struct.pack("<BII", kind, n, len(numstream)) + numstream + b"".join(strings)
+    )
+    comp = zlib.compress(body, 6)
+    return struct.pack("<I", len(comp)) + comp
+
+
+def write_cpbf(
+    tbl: pa.Table,
+    out_dir: str,
+    kind: int,
+    basename: str = "part",
+    rows_per_block: int = 2000,
+    blocks_per_file: int = 8,
+) -> list[str]:
+    """Encode an entity table into .cpbf files under out_dir (one file per
+    blocks_per_file blocks — file count is the Spark read parallelism)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = tbl.num_rows
+    if n == 0:
+        blocks = [_encode_block(tbl, 0, 0, kind)]
+    else:
+        blocks = [
+            _encode_block(tbl, lo, min(lo + rows_per_block, n), kind)
+            for lo in range(0, n, rows_per_block)
+        ]
+    paths = []
+    for fi, flo in enumerate(range(0, len(blocks), blocks_per_file)):
+        p = os.path.join(out_dir, f"{basename}-{fi:05d}.cpbf")
+        with open(p, "wb") as f:
+            f.write(MAGIC)
+            for b in blocks[flo : flo + blocks_per_file]:
+                f.write(b)
+        paths.append(p)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# decode (runs inside Spark tasks — vectorized per block)
+# ---------------------------------------------------------------------------
+
+
+def iter_blocks(content: bytes) -> Iterator[bytes]:
+    if content[: len(MAGIC)] != MAGIC:
+        raise ValueError("bad cpbf magic")
+    pos = len(MAGIC)
+    total = len(content)
+    while pos < total:
+        (clen,) = struct.unpack_from("<I", content, pos)
+        pos += 4
+        yield zlib.decompress(content[pos : pos + clen])
+        pos += clen
+
+
+def decode_block(body: bytes) -> tuple[int, dict[str, np.ndarray | pa.Array]]:
+    """One block body -> (kind, columns). One vectorized varint pass."""
+    kind, n, nslen = struct.unpack_from("<BII", body, 0)
+    hdr = struct.calcsize("<BII")
+    vals = V.decode_uvarints(body[hdr : hdr + nslen])
+    strdata = body[hdr + nslen :]
+    pos = 0
+
+    def take(k: int) -> np.ndarray:
+        nonlocal pos
+        out = vals[pos : pos + k]
+        if out.size != k:
+            raise ValueError("short numstream")
+        pos += k
+        return out
+
+    n_strings = int(take(1)[0])
+    str_lens = take(n_strings).astype(np.int64)
+    ends = np.cumsum(str_lens)
+    starts = ends - str_lens
+    table = np.asarray(
+        [strdata[a:b].decode() for a, b in zip(starts.tolist(), ends.tolist())],
+        dtype=object,
+    )
+    ids = V.delta_decode(V.unzigzag(take(n)))
+    cols: dict[str, np.ndarray | pa.Array] = {"id": ids}
+    if kind == KIND_NODES:
+        cols["lat"] = V.delta_decode(V.unzigzag(take(n))).astype(np.int32)
+        cols["lon"] = V.delta_decode(V.unzigzag(take(n))).astype(np.int32)
+        cols["version"] = take(n).astype(np.int32)
+    elif kind == KIND_WAYS:
+        cols["version"] = take(n).astype(np.int32)
+        nrefs = take(n).astype(np.int64)
+        total_refs = int(nrefs.sum())
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nrefs[:-1], out=seg_starts[1:])
+        deltas = V.unzigzag(take(total_refs))
+        flat = V.segmented_delta_decode(deltas, seg_starts, nrefs)
+        off = np.zeros(n + 1, dtype=np.int32)
+        off[1:] = np.cumsum(nrefs)
+        cols["refs"] = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(flat, pa.int64())
+        )
+    else:
+        raise ValueError(f"unknown kind {kind}")
+    ntags = take(n).astype(np.int64)
+    total_tags = int(ntags.sum())
+    kv = take(2 * total_tags).astype(np.int64)
+    toff = np.zeros(n + 1, dtype=np.int32)
+    toff[1:] = np.cumsum(ntags)
+    keys = table[kv[0::2]] if total_tags else np.empty(0, dtype=object)
+    items = table[kv[1::2]] if total_tags else np.empty(0, dtype=object)
+    cols["tags"] = pa.MapArray.from_arrays(
+        pa.array(toff, pa.int32()),
+        pa.array(keys, pa.string()),
+        pa.array(items, pa.string()),
+    )
+    if pos != vals.size:
+        raise ValueError("trailing numstream values")
+    return kind, cols
+
+
+def _block_to_batch(kind: int, cols: dict) -> pa.RecordBatch:
+    if kind == KIND_NODES:
+        names = ["id", "version", "lat", "lon", "tags"]
+        arrays = [
+            pa.array(cols["id"], pa.int64()),
+            pa.array(cols["version"], pa.int32()),
+            pa.array(cols["lat"], pa.int32()),
+            pa.array(cols["lon"], pa.int32()),
+            cols["tags"],
+        ]
+    else:
+        names = ["id", "version", "refs", "tags"]
+        arrays = [
+            pa.array(cols["id"], pa.int64()),
+            pa.array(cols["version"], pa.int32()),
+            cols["refs"],
+            cols["tags"],
+        ]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def read_cpbf(spark, path: str, kind: int):
+    """Entity DataFrame from .cpbf files: binaryFile source + mapInArrow
+    block decode (one task per file; each block decodes in one vectorized
+    varint pass — no per-entity Python)."""
+    want = kind
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            contents = rb.column(rb.schema.get_field_index("content"))
+            for i in range(len(contents)):
+                content = contents[i].as_py()
+                for body in iter_blocks(content):
+                    k, cols = decode_block(body)
+                    if k != want:
+                        raise ValueError(f"kind mismatch: file has {k}, expected {want}")
+                    yield _block_to_batch(k, cols)
+
+    schema = NODE_SCHEMA if kind == KIND_NODES else WAY_SCHEMA
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.cpbf")
+        .load(path)
+        .select("content")
+    )
+    return df.mapInArrow(decode, schema)

@@ -1,0 +1,76 @@
+"""S1 PBF-shaped ingest (SURVEY.md §2.1; VERDICT r3 ask #6): the cpbf
+blocked varint/delta/string-table format must roundtrip the entity fixtures
+byte-identically through the Spark binaryFile + mapInArrow decode path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from coords_spark.fixtures import gen_nodes, gen_ways
+from coords_spark.kernels import varint as V
+from coords_spark.sources import cpbf
+
+
+def test_varint_roundtrip_extremes():
+    rng = np.random.default_rng(0)
+    v = np.concatenate(
+        [
+            rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64),
+            np.asarray([0, 1, 127, 128, 16383, 16384, 2**56, 2**64 - 1], dtype=np.uint64),
+        ]
+    )
+    assert (V.decode_uvarints(V.encode_uvarints(v)) == v).all()
+    s = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    assert (V.unzigzag(V.zigzag(s)) == s).all()
+
+
+def test_varint_truncation_detected():
+    buf = V.encode_uvarints(np.asarray([300], dtype=np.uint64))
+    with pytest.raises(ValueError):
+        V.decode_uvarints(buf[:-1])
+
+
+@pytest.fixture(scope="module")
+def cpbf_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("cpbf")
+    nodes = gen_nodes(4000)
+    ways = gen_ways(600, 4000)
+    cpbf.write_cpbf(nodes, str(d / "nodes"), cpbf.KIND_NODES, rows_per_block=512, blocks_per_file=3)
+    cpbf.write_cpbf(ways, str(d / "ways"), cpbf.KIND_WAYS, rows_per_block=97, blocks_per_file=2)
+    # parquet keeps the map type — the type-faithful expected side
+    pq.write_table(nodes, str(d / "nodes.parquet"))
+    pq.write_table(ways, str(d / "ways.parquet"))
+    return str(d)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_spark_decode_nodes_byte_identical(spark, cpbf_dir):
+    d = cpbf_dir
+    got = cpbf.read_cpbf(spark, os.path.join(d, "nodes"), cpbf.KIND_NODES)
+    want = spark.read.parquet(os.path.join(d, "nodes.parquet"))
+    g = _rows(got.selectExpr("id", "version", "lat", "lon", "to_json(tags) as t"), ["id", "version", "lat", "lon", "t"])
+    w = _rows(want.selectExpr("id", "version", "lat", "lon", "to_json(tags) as t"), ["id", "version", "lat", "lon", "t"])
+    assert g == w and len(g) == 4000
+
+
+def test_spark_decode_ways_byte_identical(spark, cpbf_dir):
+    d = cpbf_dir
+    got = cpbf.read_cpbf(spark, os.path.join(d, "ways"), cpbf.KIND_WAYS)
+    want = spark.read.parquet(os.path.join(d, "ways.parquet"))
+    cols = ["id", "version", "r", "t"]
+    g = _rows(got.selectExpr("id", "version", "to_json(refs) as r", "to_json(tags) as t"), cols)
+    w = _rows(want.selectExpr("id", "version", "to_json(refs) as r", "to_json(tags) as t"), cols)
+    assert g == w and len(g) == 600
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bogus.cpbf"
+    p.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        list(cpbf.iter_blocks(p.read_bytes()))

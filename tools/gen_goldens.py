@@ -704,6 +704,40 @@ def g_icepick_roundtrip_stats():
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
 
 
+def g_cpbf_ingest_stats(n_nodes: int = 4000, n_ways: int = 600):
+    """Independent scalar twin of the cpbf codec gate: per-kind row count,
+    id/coordinate/ref sums and tag crc32 checksums computed straight from
+    the fixture tables (never through the codec)."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+
+    def tag_crc(tags) -> int:
+        return sum(zlib.crc32(f"{k}={v}".encode()) for k, v in tags)
+
+    nodes = gen_nodes(n_nodes).to_pylist()
+    ways = gen_ways(n_ways, n_nodes).to_pylist()
+    rows = [
+        (
+            "nodes",
+            len(nodes),
+            sum(r["id"] for r in nodes),
+            sum(r["lat"] + r["lon"] for r in nodes),
+            sum(len(r["tags"]) for r in nodes),
+            sum(tag_crc(r["tags"]) for r in nodes),
+        ),
+        (
+            "ways",
+            len(ways),
+            sum(r["id"] for r in ways),
+            sum(sum(r["refs"]) for r in ways),
+            sum(len(r["tags"]) for r in ways),
+            sum(tag_crc(r["tags"]) for r in ways),
+        ),
+    ]
+    return ["kind", "n", "id_sum", "payload_sum", "n_tags", "tag_crc_sum"], rows, {
+        "kind": "VARCHAR"
+    }
+
+
 def g_geo_render_bbox():
     """Independent scalar twin of the bbox+zoom render read: filter the
     order-derived points to the London viewport (inclusive i32 bbox on the
@@ -731,6 +765,7 @@ GENERATORS = {
     "embedding_ann_join_topk": g_embedding_ann_join_topk,
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
     "geo_render_bbox": g_geo_render_bbox,
+    "cpbf_ingest_stats": g_cpbf_ingest_stats,
     "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
