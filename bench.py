@@ -33,7 +33,33 @@ SURFACE_QUERIES = [
     "knn_cosine_top10",
     "embedding_ivf_topk",
     "dedup_keep_first",
+    "geo_render_bbox",
+    "cpbf_ingest_stats",
 ]
+
+
+def _prev_round_queries(repo: str) -> tuple[str | None, dict[str, float]]:
+    """Per-query seconds from the most recent driver-recorded BENCH_r{N}.json
+    (its `tail` embeds this script's JSON line) — the vs_prev baseline."""
+    import glob
+    import re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), p
+    if best is None:
+        return None, {}
+    try:
+        blob = json.load(open(best))
+        tail = blob.get("tail", "")
+        m = re.search(r'\{"metric".*\}', tail)
+        if not m:
+            return os.path.basename(best), {}
+        return os.path.basename(best), json.loads(m.group(0)).get("queries", {})
+    except (OSError, ValueError):
+        return None, {}
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -220,6 +246,15 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = time.time() - t_start
+    # round-over-round regression visibility (r3 verdict #7): ratio vs the
+    # last driver-recorded bench; >1.2x regressions are named explicitly
+    prev_name, prev_q = _prev_round_queries(repo)
+    vs_prev = {
+        k: round(queries[k] / prev_q[k], 3)
+        for k in queries
+        if k in prev_q and prev_q[k] > 0
+    }
+    regressions = sorted(k for k, r in vs_prev.items() if r > 1.2)
     result = {
         "metric": "e2e_chunk_pipeline_wall",
         "value": round(geo_wall, 3),
@@ -233,6 +268,9 @@ def main() -> None:
         "decode_rows_per_sec": round(n_imgs / queries["payload_decode_check"], 1),
         "payload_failures": payload_failures,
         "errors": errors,
+        "vs_prev": vs_prev,
+        "vs_prev_baseline": prev_name,
+        "regressions_gt_1p2x": regressions,
         "total_wall_sec": round(total, 3),
         "cpus": int(cpus),
     }

@@ -351,9 +351,13 @@ def embedding_near_dups(
     (and re-running every band's UDF) n_bands+2 times."""
     from coords_spark.operators.similarity import cosine_expr, lsh_band_buckets_col
 
+    # posexplode_OUTER on purpose: plain posexplode makes Catalyst infer a
+    # size/not-null pre-filter on the UDF column, which evaluates the band
+    # UDF twice per row; the UDF always returns exactly n_bands entries, so
+    # outer emits the identical row set with ONE ArrowEvalPython node
     bands = df.select(
         key, lsh_band_buckets_col(F.col(vec), n_bands, planes_per_band, seed).alias("_bs")
-    ).select(key, F.posexplode("_bs").alias("band", "bv"))
+    ).select(key, F.posexplode_outer("_bs").alias("band", "bv"))
     a = bands.select(F.col(key).alias("id_a"), "band", "bv")
     b = bands.select(F.col(key).alias("id_b"), "band", "bv")
     cands = (

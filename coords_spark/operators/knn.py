@@ -67,7 +67,23 @@ def knn_join(
     """points: (point_key, lat, lon); queries: [(qid, lat_i32, lon_i32)].
     Returns (qid, rank, <point_key>, dist_units), rank 1..k by mercator-grid
     euclidean distance, ties broken by key. Exact (brute-force-equivalent)
-    by the disk-guarantee rule above."""
+    by the disk-guarantee rule above.
+
+    SCOPE BOUNDARY (r3 verdict #8): this is a VIEWPORT-LOOKUP operator —
+    the query list is the small driver-side dimension. Driver-side state is
+    bounded by k x |queries| result rows plus max_disk_cells x |queries|
+    broadcast disk cells per round; it is NOT a query-table join. For large
+    query SETS (>= ~10^3 points) use the fully distributed
+    similarity.ann_topk_join / similarity.ivf_topk_join shape instead
+    (vectors keyed by bucket/cell, queries exploded over probes, one
+    equi-join, per-query window top-k — nothing query-proportional ever
+    materializes on the driver)."""
+    if len(queries) > 2000:
+        raise ValueError(
+            f"knn_join is a viewport-lookup operator ({len(queries)} queries "
+            "given); route large query sets to similarity.ann_topk_join / "
+            "ivf_topk_join (fully distributed)"
+        )
     spark = points.sparkSession
     cell_size = 1 << (zcurve.MAX_LEVEL - level)
     grid_cells = 1 << level

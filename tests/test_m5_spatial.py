@@ -126,3 +126,23 @@ def test_align_chunks(spark):
     }
     want = {(v_cells[0], kc) for kc in kids} | {(v_cells[2], shallow)}
     assert got == want
+
+
+def test_knn_join_driver_bound(spark, fixture_dir):
+    """knn_join's driver materialization stays <= k x |queries| result rows,
+    and oversized query sets are routed to the distributed ANN joins."""
+    import os
+
+    import pytest
+
+    from coords_spark.operators import ingest, knn
+
+    imgs = spark.read.parquet(os.path.join(fixture_dir, "images.parquet")).limit(500)
+    pts = ingest.with_anchor(imgs.select("image_id", "phash"))
+    queries = [("q0", int(51.5e7), int(-0.1e7)), ("q1", int(40.7e7), int(-74.0e7))]
+    out = knn.knn_join(pts, queries, k=5, level=8)
+    rows = out.collect()
+    assert len(rows) <= 5 * len(queries)
+    assert {r["qid"] for r in rows} <= {"q0", "q1"}
+    with pytest.raises(ValueError, match="viewport-lookup"):
+        knn.knn_join(pts, [(f"q{i}", 0, 0) for i in range(2001)], k=1)
