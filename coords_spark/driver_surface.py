@@ -1714,14 +1714,27 @@ def geo_render_bbox(spark, sf):
 
     from coords_spark.operators import ingest, tiling
 
-    pts = ingest.with_point_cell(_points_from_orders(spark, sf), tiling.DEFAULT_BASE_LEVEL)
-    pts = pts.withColumn("nbytes", F.lit(128).cast("long"))
-    split = tiling.compute_split_set(pts, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
-    chunked = tiling.with_chunk(pts, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+    o = (
+        _t(spark, sf, "orders")
+        .select(F.col("o_orderkey").alias("image_id"), F.xxhash64("o_orderkey").alias("phash"))
+        # orders is a single-row-group file: without an exchange every
+        # Arrow stage below runs as ONE task (CLAUDE.md gotcha)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # the fused ingest hot path (anchor+cell one Arrow stage; split set AND
+    # chunk weights in one logical pass; explicit allocation at write) —
+    # chunking semantics identical to the split-rule golden
+    pts = ingest.with_anchor_cell(o, tiling.DEFAULT_BASE_LEVEL).withColumn(
+        "nbytes", F.lit(128).cast("long")
+    )
+    split, weights = tiling.compute_split_set_and_weights(
+        pts, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+    )
+    chunked = ingest.with_anchor_cell_chunk(o, split, tiling.DEFAULT_BASE_LEVEL)
     tmp = tempfile.mkdtemp(prefix="render_bbox_")
     try:
         path = f"{tmp}/points"
-        tiling.materialize_chunk_table(chunked.withColumnRenamed("key", "image_id"), path)
+        tiling.materialize_chunk_table(chunked, path, chunk_weights=weights)
         bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London viewport
         got = ingest.render_read(spark, path, bbox, zoom=12, base_level=tiling.DEFAULT_BASE_LEVEL)
         return (

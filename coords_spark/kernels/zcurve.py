@@ -225,7 +225,8 @@ def _merge_ranges(lo: np.ndarray, hi: np.ndarray) -> list[tuple[int, int]]:
 
 
 def bbox_cover_ranges(
-    gx0: int, gy0: int, gx1: int, gy1: int, zoom: int, max_level: int = MAX_LEVEL
+    gx0: int, gy0: int, gx1: int, gy1: int, zoom: int, max_level: int = MAX_LEVEL,
+    max_cover_cells: int = 1024,
 ) -> list[tuple[int, int]]:
     """Inclusive CELL-ID ranges covering every cell at levels 0..max_level
     that may intersect the envelope [gx0,gx1]x[gy0,gy1] (MAX_LEVEL grid
@@ -241,9 +242,20 @@ def bbox_cover_ranges(
         intersecting cells (exactness is not needed: readers re-filter
         rows by the bbox; ranges only drive file/row-group pruning).
     Adjacent/overlapping ranges merge per level, so a viewport's range
-    count stays ~O(rows-of-cover x levels)."""
+    count stays ~O(rows-of-cover x levels). The effective cover level
+    auto-coarsens until the cover holds <= max_cover_cells cells (a deep
+    zoom over a wide viewport stays conservative rather than unbounded —
+    exactness is never required above the exact row filter)."""
     zoom = int(min(max(zoom, 0), MAX_LEVEL))
     max_level = int(min(max_level, MAX_LEVEL))
+    while zoom > 0:
+        shift = MAX_LEVEL - zoom
+        n_cells = ((int(gx1) >> shift) - (int(gx0) >> shift) + 1) * (
+            (int(gy1) >> shift) - (int(gy0) >> shift) + 1
+        )
+        if n_cells <= max_cover_cells:
+            break
+        zoom -= 1
     cover = cover_envelope(gx0, gy0, gx1, gy1, zoom)
     zc = np.sort(cell_zcode(cover).astype(np.int64))
     ranges: list[tuple[int, int]] = []
