@@ -1750,6 +1750,33 @@ def geo_render_bbox(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("geo_render_tiles", None)
+def geo_render_tiles(spark, sf):
+    """Viewport -> per-TILE aggregation at the render zoom (the shape the
+    reference's mapnik companion consumes: one output row per zoom-8 tile
+    intersecting the viewport). Runs entirely on the base parquet points
+    (no table build): exact bbox filter, cell-at-zoom encode, per-tile
+    count + key checksum. Golden twin replicates the filter + cell id
+    scalar-side."""
+    from coords_spark.operators import ingest
+    from coords_spark.operators.knn import cell_at_level_col
+
+    pts = _points_from_orders(spark, sf)
+    lat0, lon0, lat1, lon1 = int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7)
+    return (
+        pts.filter(
+            F.col("lat").between(lat0, lat1) & F.col("lon").between(lon0, lon1)
+        )
+        .withColumn("tile", cell_at_level_col(8))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("key").cast("long")).alias("key_sum"),
+        )
+        .orderBy("tile")
+    )
+
+
 @_q("embedding_ann_join_topk", None)
 def embedding_ann_join_topk(spark, sf):
     """Query-SET ANN as a bucketed equi-join (the 100 TB shape: vectors

@@ -704,6 +704,25 @@ def g_icepick_roundtrip_stats():
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
 
 
+def g_geo_render_tiles(zoom: int = 8):
+    """Scalar twin of the per-tile viewport aggregation: bbox filter on the
+    anchor lat/lon, cell id at the render zoom, (count, key sum) per tile."""
+    keys, lat, lon = _points_from_table(f"{SF_DIR}/orders.parquet", "o_orderkey")
+    ux, uy = _unit_xy(lat, lon)
+    gx, gy = _grid_int(ux, uy)
+    lat0, lon0, lat1, lon1 = 500000000, -20000000, 530000000, 18000000
+    agg: dict[int, list[int]] = {}
+    for i in range(len(keys)):
+        if not (lat0 <= lat[i] <= lat1 and lon0 <= lon[i] <= lon1):
+            continue
+        t = mc.cell_id(int(gx[i]), int(gy[i]), zoom)
+        a = agg.setdefault(t, [0, 0])
+        a[0] += 1
+        a[1] += int(keys[i])
+    rows = [(t, n, s) for t, (n, s) in sorted(agg.items())]
+    return ["tile", "n_points", "key_sum"], rows, {}
+
+
 def g_cpbf_ingest_stats(n_nodes: int = 4000, n_ways: int = 600):
     """Independent scalar twin of the cpbf codec gate: per-kind row count,
     id/coordinate/ref sums and tag crc32 checksums computed straight from
@@ -766,6 +785,7 @@ GENERATORS = {
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
     "geo_render_bbox": g_geo_render_bbox,
     "cpbf_ingest_stats": g_cpbf_ingest_stats,
+    "geo_render_tiles": g_geo_render_tiles,
     "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
