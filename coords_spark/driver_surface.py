@@ -1656,14 +1656,19 @@ def cpbf_ingest_stats(spark, sf):
     from coords_spark.fixtures import gen_nodes, gen_ways
     from coords_spark.sources import cpbf
 
+    from coords_spark.fixtures import gen_relations
+
     tmp = tempfile.mkdtemp(prefix="cpbf_")
     try:
         cpbf.write_cpbf(gen_nodes(4000), f"{tmp}/nodes", cpbf.KIND_NODES,
                         rows_per_block=512, blocks_per_file=3)
         cpbf.write_cpbf(gen_ways(600, 4000), f"{tmp}/ways", cpbf.KIND_WAYS,
                         rows_per_block=97, blocks_per_file=2)
+        cpbf.write_cpbf(gen_relations(200)[0], f"{tmp}/rels", cpbf.KIND_RELATIONS,
+                        rows_per_block=31, blocks_per_file=2)
         nd = cpbf.read_cpbf(spark, f"{tmp}/nodes", cpbf.KIND_NODES)
         wd = cpbf.read_cpbf(spark, f"{tmp}/ways", cpbf.KIND_WAYS)
+        rd = cpbf.read_cpbf(spark, f"{tmp}/rels", cpbf.KIND_RELATIONS)
         tag_crc = (
             "aggregate(transform(map_entries(tags), "
             "e -> crc32(cast(concat(e.key, '=', e.value) as binary))), "
@@ -1683,8 +1688,20 @@ def cpbf_ingest_stats(spark, sf):
             F.size(F.map_keys("tags")).cast("long").alias("ntags"),
             F.expr(tag_crc).alias("tcrc"),
         )
+        # members checksum folds mtype, delta-coded ref AND role strings —
+        # any codec slip in the member stream breaks the hash
+        r_stats = rd.select(
+            F.lit("relations").alias("kind"),
+            "id",
+            F.expr(
+                "aggregate(transform(members, m -> cast(m.mtype as long) * 1000003 "
+                "+ m.ref + crc32(cast(m.role as binary))), 0L, (a, x) -> a + x)"
+            ).alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
         return (
-            n_stats.unionAll(w_stats)
+            n_stats.unionAll(w_stats).unionAll(r_stats)
             .groupBy("kind")
             .agg(
                 F.count("*").alias("n"),

@@ -16,6 +16,10 @@ decodes it in a single vectorized pass), sliced by known counts:
            [zz-delta lon x n][version x n][ntags x n][tag k,v idx x 2T]
     ways:  [n_strings][str_len x S][zz-delta id x n][version x n]
            [nrefs x n][zz per-way-delta refs x R][ntags x n][k,v idx x 2T]
+    rels:  [n_strings][str_len x S][zz-delta id x n][version x n]
+           [nmembers x n][mtype x M][zz per-rel-delta refs x M]
+           [role idx x M][ntags x n][k,v idx x 2T]
+    (member roles share the block string table with tag keys/values)
 
 `strdata` is the block's string table, concatenated utf8 sliced by the
 str_len entries. Every block is self-describing and independently
@@ -40,9 +44,15 @@ from coords_spark.kernels import varint as V
 MAGIC = b"CPBF\x01"
 KIND_NODES = 0
 KIND_WAYS = 1
+KIND_RELATIONS = 2
 
 NODE_SCHEMA = "id long, version int, lat int, lon int, tags map<string,string>"
 WAY_SCHEMA = "id long, version int, refs array<long>, tags map<string,string>"
+REL_SCHEMA = (
+    "id long, version int, "
+    "members array<struct<mtype:tinyint,ref:bigint,role:string>>, "
+    "tags map<string,string>"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -50,19 +60,20 @@ WAY_SCHEMA = "id long, version int, refs array<long>, tags map<string,string>"
 # ---------------------------------------------------------------------------
 
 
-def _string_table(keys: np.ndarray, items: np.ndarray) -> tuple[list[bytes], np.ndarray, np.ndarray]:
-    """Unique strings over the block's tag keys+values -> (table, key idx,
-    item idx)."""
-    all_s = np.concatenate([keys, items]) if keys.size or items.size else np.empty(0, dtype=object)
-    uniq, inv = np.unique(all_s.astype(str), return_inverse=True) if all_s.size else (
-        np.empty(0, dtype=str),
-        np.empty(0, dtype=np.int64),
-    )
-    return (
-        [s.encode() for s in uniq.tolist()],
-        inv[: keys.size].astype(np.int64),
-        inv[keys.size :].astype(np.int64),
-    )
+def _string_table(arrays: list[np.ndarray]) -> tuple[list[bytes], list[np.ndarray]]:
+    """One block-level string table over every string column (tag keys, tag
+    values, member roles) -> (table, one index array per input)."""
+    total = sum(a.size for a in arrays)
+    if total == 0:
+        return [], [np.empty(0, dtype=np.int64) for _ in arrays]
+    all_s = np.concatenate(arrays)
+    uniq, inv = np.unique(all_s.astype(str), return_inverse=True)
+    out = []
+    pos = 0
+    for a in arrays:
+        out.append(inv[pos : pos + a.size].astype(np.int64))
+        pos += a.size
+    return [s.encode() for s in uniq.tolist()], out
 
 
 def _tags_of(tbl: pa.Table, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -78,12 +89,32 @@ def _tags_of(tbl: pa.Table, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray, n
     return ntags, keys, items
 
 
+def _seg_deltas(flat: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Per-segment delta encode (each segment's first value absolute)."""
+    seg_starts = np.zeros(seg_lens.size, dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=seg_starts[1:])
+    deltas = V.delta_encode(flat)
+    if flat.size:
+        deltas[seg_starts] = flat[seg_starts]
+    return deltas
+
+
 def _encode_block(tbl: pa.Table, lo: int, hi: int, kind: int) -> bytes:
     n = hi - lo
     ids = tbl.column("id").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
     ver = tbl.column("version").to_numpy(zero_copy_only=False)[lo:hi].astype(np.int64)
     ntags, keys, items = _tags_of(tbl, lo, hi)
-    strings, kidx, iidx = _string_table(keys, items)
+    roles = np.empty(0, dtype=object)
+    if kind == KIND_RELATIONS:
+        mcol = tbl.column("members").combine_chunks().slice(lo, n)
+        moff = mcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nmem = moff[1:] - moff[:-1]
+        a0, b0 = int(moff[0]), int(moff[-1])
+        mvals = mcol.values
+        mtype = mvals.field("mtype").to_numpy(zero_copy_only=False).astype(np.int64)[a0:b0]
+        mrefs = mvals.field("ref").to_numpy(zero_copy_only=False).astype(np.int64)[a0:b0]
+        roles = np.asarray(mvals.field("role").slice(a0, b0 - a0).to_pylist(), dtype=object)
+    strings, (kidx, iidx, ridx) = _string_table([keys, items, roles])
     parts: list[np.ndarray] = [
         np.asarray([len(strings)], dtype=np.uint64),
         np.asarray([len(s) for s in strings], dtype=np.uint64),
@@ -103,11 +134,16 @@ def _encode_block(tbl: pa.Table, lo: int, hi: int, kind: int) -> bytes:
         nrefs = off[1:] - off[:-1]
         flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = flat[off[0] : off[-1]]
-        seg_starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(nrefs[:-1], out=seg_starts[1:])
-        deltas = V.delta_encode(flat)
-        deltas[seg_starts] = flat[seg_starts]  # per-way restart: first ref absolute
-        parts += [ver.astype(np.uint64), nrefs.astype(np.uint64), V.zigzag(deltas)]
+        parts += [ver.astype(np.uint64), nrefs.astype(np.uint64),
+                  V.zigzag(_seg_deltas(flat, nrefs))]
+    elif kind == KIND_RELATIONS:
+        parts += [
+            ver.astype(np.uint64),
+            nmem.astype(np.uint64),
+            mtype.astype(np.uint64),
+            V.zigzag(_seg_deltas(mrefs, nmem)),
+            ridx.astype(np.uint64),
+        ]
     else:
         raise ValueError(f"unknown kind {kind}")
     kv = np.empty(2 * kidx.size, dtype=np.uint64)
@@ -212,6 +248,27 @@ def decode_block(body: bytes) -> tuple[int, dict[str, np.ndarray | pa.Array]]:
         cols["refs"] = pa.ListArray.from_arrays(
             pa.array(off, pa.int32()), pa.array(flat, pa.int64())
         )
+    elif kind == KIND_RELATIONS:
+        cols["version"] = take(n).astype(np.int32)
+        nmem = take(n).astype(np.int64)
+        total_m = int(nmem.sum())
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nmem[:-1], out=seg_starts[1:])
+        mtype = take(total_m).astype(np.int8)
+        refs = V.segmented_delta_decode(V.unzigzag(take(total_m)), seg_starts, nmem)
+        ridx = take(total_m).astype(np.int64)
+        roles = table[ridx] if total_m else np.empty(0, dtype=object)
+        off = np.zeros(n + 1, dtype=np.int32)
+        off[1:] = np.cumsum(nmem)
+        members = pa.StructArray.from_arrays(
+            [
+                pa.array(mtype, pa.int8()),
+                pa.array(refs, pa.int64()),
+                pa.array(roles, pa.string()),
+            ],
+            names=["mtype", "ref", "role"],
+        )
+        cols["members"] = pa.ListArray.from_arrays(pa.array(off, pa.int32()), members)
     else:
         raise ValueError(f"unknown kind {kind}")
     ntags = take(n).astype(np.int64)
@@ -241,12 +298,20 @@ def _block_to_batch(kind: int, cols: dict) -> pa.RecordBatch:
             pa.array(cols["lon"], pa.int32()),
             cols["tags"],
         ]
-    else:
+    elif kind == KIND_WAYS:
         names = ["id", "version", "refs", "tags"]
         arrays = [
             pa.array(cols["id"], pa.int64()),
             pa.array(cols["version"], pa.int32()),
             cols["refs"],
+            cols["tags"],
+        ]
+    else:
+        names = ["id", "version", "members", "tags"]
+        arrays = [
+            pa.array(cols["id"], pa.int64()),
+            pa.array(cols["version"], pa.int32()),
+            cols["members"],
             cols["tags"],
         ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
@@ -269,7 +334,7 @@ def read_cpbf(spark, path: str, kind: int):
                         raise ValueError(f"kind mismatch: file has {k}, expected {want}")
                     yield _block_to_batch(k, cols)
 
-    schema = NODE_SCHEMA if kind == KIND_NODES else WAY_SCHEMA
+    schema = {KIND_NODES: NODE_SCHEMA, KIND_WAYS: WAY_SCHEMA, KIND_RELATIONS: REL_SCHEMA}[kind]
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.cpbf")

@@ -74,3 +74,20 @@ def test_bad_magic_rejected(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 16)
     with pytest.raises(ValueError):
         list(cpbf.iter_blocks(p.read_bytes()))
+
+
+def test_spark_decode_relations_byte_identical(spark, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from coords_spark.fixtures import gen_relations
+
+    d = tmp_path_factory.mktemp("cpbf_rel")
+    rels, _ = gen_relations(100)
+    cpbf.write_cpbf(rels, str(d / "rels"), cpbf.KIND_RELATIONS, rows_per_block=17, blocks_per_file=3)
+    pq.write_table(rels, str(d / "rels.parquet"))
+    got = cpbf.read_cpbf(spark, str(d / "rels"), cpbf.KIND_RELATIONS)
+    want = spark.read.parquet(str(d / "rels.parquet"))
+    cols = ["id", "version", "m", "t"]
+    g = _rows(got.selectExpr("id", "version", "to_json(members) as m", "to_json(tags) as t"), cols)
+    w = _rows(want.selectExpr("id", "version", "to_json(members) as m", "to_json(tags) as t"), cols)
+    assert g == w and len(g) == 100

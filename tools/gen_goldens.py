@@ -723,17 +723,24 @@ def g_geo_render_tiles(zoom: int = 8):
     return ["tile", "n_points", "key_sum"], rows, {}
 
 
-def g_cpbf_ingest_stats(n_nodes: int = 4000, n_ways: int = 600):
+def g_cpbf_ingest_stats(n_nodes: int = 4000, n_ways: int = 600, n_rels: int = 200):
     """Independent scalar twin of the cpbf codec gate: per-kind row count,
-    id/coordinate/ref sums and tag crc32 checksums computed straight from
-    the fixture tables (never through the codec)."""
-    from coords_spark.fixtures import gen_nodes, gen_ways
+    id/coordinate/ref/member sums and tag/role crc32 checksums computed
+    straight from the fixture tables (never through the codec)."""
+    from coords_spark.fixtures import gen_nodes, gen_relations, gen_ways
 
     def tag_crc(tags) -> int:
         return sum(zlib.crc32(f"{k}={v}".encode()) for k, v in tags)
 
+    def member_sum(members) -> int:
+        return sum(
+            m["mtype"] * 1000003 + m["ref"] + zlib.crc32(m["role"].encode())
+            for m in members
+        )
+
     nodes = gen_nodes(n_nodes).to_pylist()
     ways = gen_ways(n_ways, n_nodes).to_pylist()
+    rels = gen_relations(n_rels)[0].to_pylist()
     rows = [
         (
             "nodes",
@@ -742,6 +749,14 @@ def g_cpbf_ingest_stats(n_nodes: int = 4000, n_ways: int = 600):
             sum(r["lat"] + r["lon"] for r in nodes),
             sum(len(r["tags"]) for r in nodes),
             sum(tag_crc(r["tags"]) for r in nodes),
+        ),
+        (
+            "relations",
+            len(rels),
+            sum(r["id"] for r in rels),
+            sum(member_sum(r["members"]) for r in rels),
+            sum(len(r["tags"]) for r in rels),
+            sum(tag_crc(r["tags"]) for r in rels),
         ),
         (
             "ways",
