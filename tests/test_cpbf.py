@@ -91,3 +91,33 @@ def test_spark_decode_relations_byte_identical(spark, tmp_path_factory):
     g = _rows(got.selectExpr("id", "version", "to_json(members) as m", "to_json(tags) as t"), cols)
     w = _rows(want.selectExpr("id", "version", "to_json(members) as m", "to_json(tags) as t"), cols)
     assert g == w and len(g) == 100
+
+
+def test_cpbf_feeds_resolve_pipeline(spark, cpbf_dir):
+    """The cpbf front door must feed the engine identically to the parquet
+    path: decode nodes+ways from cpbf, run the J1 location-resolution join,
+    and match the parquet-sourced result exactly."""
+    from pyspark.sql import functions as F
+
+    from coords_spark.operators import resolve
+
+    d = cpbf_dir
+    nodes_c = cpbf.read_cpbf(spark, os.path.join(d, "nodes"), cpbf.KIND_NODES)
+    ways_c = cpbf.read_cpbf(spark, os.path.join(d, "ways"), cpbf.KIND_WAYS)
+    nodes_p = spark.read.parquet(os.path.join(d, "nodes.parquet"))
+    ways_p = spark.read.parquet(os.path.join(d, "ways.parquet"))
+
+    def digest(nodes, ways):
+        r = resolve.resolve_ways(ways, nodes)
+        return sorted(
+            tuple(x)
+            for x in r.selectExpr(
+                "way_id",
+                "size(pts) as n",
+                "aggregate(transform(pts, p -> cast(p.lat as bigint) + p.lon), 0L, (a, x) -> a + x) as coord_sum",
+            ).collect()
+        )
+
+    a = digest(nodes_c, ways_c)
+    b = digest(nodes_p, ways_p)
+    assert a == b and len(a) > 0
