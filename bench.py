@@ -184,6 +184,17 @@ def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]
     # BENCH/PLANS.md); payload tables (ingest_images) use chunk_weights
     tiling.materialize_chunk_table(chunked, out, group_level=1)
     times["geo_materialize"] = time.time() - t0
+
+    # the render READ path at scale (the number that matters for S5): a
+    # London-viewport fetch against the 2M-row table just written — bbox
+    # cover ranges -> multi-range manifest pruning -> row-group filter ->
+    # exact bbox. (geo_render_bbox in the query basket measures the whole
+    # build+read round trip at 150k rows; this isolates the read at 2M.)
+    t0 = time.time()
+    ingest.render_read(
+        spark, out, (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7)), zoom=12
+    ).groupBy("chunk_id").count().write.mode("overwrite").format("noop").save()
+    times["geo_render_read_2m"] = time.time() - t0
     return times
 
 
@@ -217,7 +228,11 @@ def main() -> None:
     t_start = time.time()
     queries: dict[str, float] = {}
     queries.update(run_geo_pipeline(spark, points_path, cache_root))
-    geo_wall = sum(queries.values())
+    # headline e2e = the three BUILD stages (same definition as r1-r3);
+    # geo_render_read_2m is the read path, reported separately
+    geo_wall = sum(
+        queries[k] for k in ("geo_split_rollup", "geo_chunk_assign", "geo_materialize")
+    )
 
     # payload decode+hash verification (CPU-dominant ingest stage)
     from pyspark.sql import functions as F

@@ -657,6 +657,65 @@ def union_labels(spark, sf):
 
 
 @_q(
+    "array_funcs_parts",
+    """
+    SELECT list_sort(list_distinct(string_split(LOWER(p_name), ' ')))[1]        AS word1,
+           CAST(LEN(list_distinct(string_split(LOWER(p_name), ' '))) AS BIGINT) AS n_words,
+           COUNT(*)                                                             AS n,
+           MIN(array_to_string(list_sort(list_distinct(string_split(LOWER(p_name), ' '))), '|'))
+                                                                                AS min_words
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def array_funcs_parts(spark, sf):
+    """§2.8 array-function family twin: split -> array_distinct ->
+    sort_array -> element_at / size / concat_ws, reduced to scalars so the
+    driver hash compares strings not nested lists (grouping on the first
+    sorted word gives ~90 groups at sf0.01)."""
+    p = _t(spark, sf, "part")
+    words = F.sort_array(F.array_distinct(F.split(F.lower("p_name"), " ")))
+    return (
+        p.select(
+            F.element_at(words, 1).alias("word1"),
+            F.size(words).cast("long").alias("n_words"),
+            F.concat_ws("|", words).alias("w"),
+        )
+        .groupBy("word1", "n_words")
+        .agg(F.count("*").alias("n"), F.min("w").alias("min_words"))
+    )
+
+
+@_q(
+    "map_funcs_events",
+    """
+    SELECT array_to_string(list_sort(json_keys(props)), ',')        AS key_set,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7    AS k_mod,
+           COUNT(*)                                                 AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                                    AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def map_funcs_events(spark, sf):
+    """§2.8 map-function family twin: JSON props -> map<string,string> ->
+    map_keys sorted/joined + a map-value extraction, grouped so every
+    (key-set, value-mod) bucket is hash-pinned."""
+    ev = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(
+            F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("key_set"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .withColumn("k_mod", F.col("k") % 7)
+        .groupBy("key_set", "k_mod")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+@_q(
     "string_funcs_parts",
     """
     SELECT p_partkey,

@@ -123,7 +123,7 @@ def render_read(
     bbox_i32: tuple[int, int, int, int],
     zoom: int,
     base_level: int = T.DEFAULT_BASE_LEVEL,
-    max_chunk_filter_ranges: int = 256,
+    max_chunk_filter_ranges: int = 0,
 ) -> DataFrame:
     """The primary user-facing READ: viewport fetch — all rows whose anchor
     falls inside bbox_i32 = (lat_min, lon_min, lat_max, lon_max) in 1e-7
@@ -136,12 +136,16 @@ def render_read(
       2. manifest file pruning: only data files whose chunk min/max lineage
          overlaps some range are read (IcepickTable.data_paths_ranges) —
          planning-time, before Spark sees a path;
-      3. row-group pruning: the same ranges become an OR-of-BETWEENs filter
-         on chunk_id (pushed to parquet; data lands sorted by chunk_id so
-         row groups carry tight min/max) — skipped above
-         max_chunk_filter_ranges to keep codegen sane;
-      4. the EXACT bbox predicate on (lat, lon) — the semantic contract;
-         everything above only shrinks I/O.
+      3. row-group pruning: the EXACT bbox predicate on (lat, lon) is
+         pushed to the parquet scan, and because data lands sorted by
+         chunk_id (spatially clustered), row-group lat/lon min/max stats
+         prune tightly on their own. An explicit OR-of-BETWEENs chunk_id
+         filter is available via max_chunk_filter_ranges but OFF by
+         default: converting ~174 viewport ranges into parquet predicates
+         + codegen measured ~5 s of PER-QUERY planning overhead against a
+         0.5 s total read without it (2M-row table, sf0.1);
+      4. the same bbox predicate is the semantic contract — pruning layers
+         only shrink I/O.
 
     Returns an empty DataFrame with the table schema when nothing overlaps."""
     from coords_spark.kernels import zcurve
