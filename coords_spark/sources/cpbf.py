@@ -317,12 +317,7 @@ def _block_to_batch(kind: int, cols: dict) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def read_cpbf(spark, path: str, kind: int):
-    """Entity DataFrame from .cpbf files: binaryFile source + mapInArrow
-    block decode (one task per file; each block decodes in one vectorized
-    varint pass — no per-entity Python)."""
-    want = kind
-
+def _decoder_for(kind: int):
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             contents = rb.column(rb.schema.get_field_index("content"))
@@ -330,15 +325,42 @@ def read_cpbf(spark, path: str, kind: int):
                 content = contents[i].as_py()
                 for body in iter_blocks(content):
                     k, cols = decode_block(body)
-                    if k != want:
-                        raise ValueError(f"kind mismatch: file has {k}, expected {want}")
+                    if k != kind:
+                        raise ValueError(f"kind mismatch: file has {k}, expected {kind}")
                     yield _block_to_batch(k, cols)
 
-    schema = {KIND_NODES: NODE_SCHEMA, KIND_WAYS: WAY_SCHEMA, KIND_RELATIONS: REL_SCHEMA}[kind]
+    return decode
+
+
+def _schema_for(kind: int) -> str:
+    return {KIND_NODES: NODE_SCHEMA, KIND_WAYS: WAY_SCHEMA, KIND_RELATIONS: REL_SCHEMA}[kind]
+
+
+def read_cpbf(spark, path: str, kind: int):
+    """Entity DataFrame from .cpbf files: binaryFile source + mapInArrow
+    block decode (one task per file; each block decodes in one vectorized
+    varint pass — no per-entity Python)."""
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.cpbf")
         .load(path)
         .select("content")
     )
-    return df.mapInArrow(decode, schema)
+    return df.mapInArrow(_decoder_for(kind), _schema_for(kind))
+
+
+def read_cpbf_stream(spark, path: str, kind: int):
+    """Structured-Streaming variant of the S1 front door: .cpbf files
+    appearing under `path` decode incrementally (binaryFile file source
+    tracks seen files in the checkpoint; the SAME mapInArrow block decoder
+    as the batch path — one decode definition). Pair with an exactly-once
+    sink (e.g. streaming/ingest_stream.py) for resumable planet ingest."""
+    df = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.cpbf")
+        .load(path)
+        .select("content")
+    )
+    return df.mapInArrow(_decoder_for(kind), _schema_for(kind))

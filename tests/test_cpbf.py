@@ -121,3 +121,40 @@ def test_cpbf_feeds_resolve_pipeline(spark, cpbf_dir):
     a = digest(nodes_c, ways_c)
     b = digest(nodes_p, ways_p)
     assert a == b and len(a) > 0
+
+
+def test_streaming_cpbf_ingest_incremental(spark, tmp_path):
+    """read_cpbf_stream must decode exactly the files present per trigger
+    and pick up NEW files on the next trigger (file-source incrementality)."""
+    from coords_spark.fixtures import gen_nodes
+
+    src = tmp_path / "stream_src"
+    ckpt = str(tmp_path / "ckpt")
+    nodes = gen_nodes(300)
+    first, second = nodes.slice(0, 200), nodes.slice(200, 100)
+    cpbf.write_cpbf(first, str(src), cpbf.KIND_NODES, basename="a", rows_per_block=64, blocks_per_file=2)
+
+    out = str(tmp_path / "decoded")
+
+    def drain():
+        q = (
+            cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_NODES)
+            .select("id", "version", "lat", "lon")  # parquet sink: no map col needed
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(out).selectExpr("count(*) n", "sum(id) s").collect()[0]
+    assert got1["n"] == 200
+    cpbf.write_cpbf(second, str(src), cpbf.KIND_NODES, basename="b", rows_per_block=64, blocks_per_file=2)
+    drain()
+    got2 = spark.read.parquet(out).selectExpr("count(*) n", "sum(id) s").collect()[0]
+    assert got2["n"] == 300
+    want_sum = sum(nodes.column("id").to_pylist())
+    assert got2["s"] == want_sum

@@ -650,3 +650,18 @@ def test_streaming_chunk_ingest_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(*t2.data_paths()).select("image_id", "chunk_id").collect()
     }
     assert got == expect
+
+
+def test_decode_error_counts_reach_driver(spark, imgs):
+    """The decode-error tally must aggregate to the DRIVER through the
+    Spark accumulator (ADVICE r3: a module dict only lives in worker
+    processes) — truncate some payloads and read the counts driver-side."""
+    before = dict(images.decode_error_counts())
+    mangled = imgs.limit(10).withColumn("bytes", F.expr("substring(bytes, 1, 3)"))
+    out = images.with_decode_check(mangled)
+    n_bad = out.filter(~F.col("decode_ok")).count()
+    assert n_bad == 10
+    after = images.decode_error_counts()
+    gained = sum(after.values()) - sum(before.values())
+    assert gained >= 10, (before, after)
+    assert any(isinstance(k, tuple) and len(k) == 2 for k in after)
