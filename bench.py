@@ -21,7 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-GEO_QUERIES = True
 SURFACE_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",

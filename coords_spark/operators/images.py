@@ -98,15 +98,6 @@ def _note_decode_error(exc: BaseException, fmt, acc=None) -> None:
         acc.add({k: 1})
 
 
-def _extended_schema(df: DataFrame, extra: list[tuple[str, str]]):
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
-
-    return StructType(
-        list(df.schema.fields)
-        + [StructField(n, _parse_datatype_string(t)) for n, t in extra]
-    )
-
-
 def _decode(row_bytes: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt in STUB_FORMATS:
         raise NotImplementedError(
