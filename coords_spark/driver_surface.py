@@ -42,6 +42,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session parallelism: the testdata
+    table is a single row group, which would serialize every tokenize/
+    explode/UDF stage into ONE task before the first exchange (CLAUDE.md
+    gotcha; measured 1.27 -> 0.77 s on the ngram pipeline at sf0.1).
+    Result-invariant: all consumers aggregate with data-keyed tie-breaks."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ===========================================================================
 # A. aggregations (SURVEY.md §2.5)
 # ===========================================================================
@@ -840,7 +851,7 @@ _WORDS_DUCK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
     """,
 )
 def dedup_exact_stats(spark, sf):
-    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
+    d = _docs(spark, sf).withColumn("h", F.md5(F.lower(F.col("text"))))
     return d.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("h").alias("n_distinct"),
@@ -858,7 +869,7 @@ def dedup_exact_stats(spark, sf):
     """,
 )
 def dedup_keep_first(spark, sf):
-    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
+    d = _docs(spark, sf).withColumn("h", F.md5(F.lower(F.col("text"))))
     kept = d.groupBy("lang", "h").agg(F.min("doc_id").alias("keep_id"))
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"), F.sum("keep_id").alias("id_sum")
@@ -888,7 +899,7 @@ def minhash_band_signature(spark, sf):
     """MinHash with 4 bands over 3-word shingles: per band, the signature is
     the min md5 of 'band:shingle' — the standard banded-LSH construction
     expressed purely in built-in functions (JVM-side, no UDF)."""
-    d = _t(spark, sf, "documents").selectExpr("doc_id", f"{_WORDS_SPARK} as words")
+    d = _docs(spark, sf).selectExpr("doc_id", f"{_WORDS_SPARK} as words")
     sh = d.selectExpr(
         "doc_id",
         "explode(CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words) - 2), "
@@ -954,7 +965,7 @@ def ngram_jaccard_pairs(spark, sf):
     # single input split serializes the whole pipeline (the r2 .distinct()
     # used to provide this exchange as a side effect)
     d = (
-        _t(spark, sf, "documents")
+        _docs(spark, sf)
         .select("doc_id", "lang", "source", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -995,7 +1006,7 @@ def ngram_jaccard_pairs(spark, sf):
     """,
 )
 def text_quality_by_source(spark, sf):
-    d = _t(spark, sf, "documents").selectExpr("source", "n_chars", f"{_WORDS_SPARK} as words")
+    d = _docs(spark, sf).selectExpr("source", "n_chars", f"{_WORDS_SPARK} as words")
     return (
         d.selectExpr(
             "source",
@@ -1031,7 +1042,7 @@ def text_quality_by_source(spark, sf):
     """,
 )
 def langid_heuristic(spark, sf):
-    d = _t(spark, sf, "documents").selectExpr("lang", f"{_WORDS_SPARK} as words")
+    d = _docs(spark, sf).selectExpr("lang", f"{_WORDS_SPARK} as words")
     scored = d.selectExpr(
         "lang",
         "size(filter(words, w -> w IN ('the','and','of','a'))) as en",
@@ -1059,7 +1070,7 @@ def langid_heuristic(spark, sf):
     """,
 )
 def token_stats_by_lang(spark, sf):
-    d = _t(spark, sf, "documents").selectExpr(
+    d = _docs(spark, sf).selectExpr(
         "lang",
         f"size({_WORDS_SPARK}) as nw",
         "size(regexp_extract_all(text, '[a-z0-9]+', 0)) as na",
@@ -1081,7 +1092,7 @@ def token_stats_by_lang(spark, sf):
     """,
 )
 def doc_fingerprint_distinct(spark, sf):
-    d = _t(spark, sf, "documents").selectExpr(
+    d = _docs(spark, sf).selectExpr(
         "lang",
         f"md5(concat_ws(' ', array_sort(array_distinct({_WORDS_SPARK})))) as fp",
     )
@@ -1421,7 +1432,7 @@ def dedup_minhash_lsh_pairs(spark, sf):
     from coords_spark.operators import dedup
 
     d = (
-        _t(spark, sf, "documents")
+        _docs(spark, sf)
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)  # see ngram query
     )
@@ -1433,7 +1444,7 @@ def dedup_minhash_lsh_pairs(spark, sf):
 def dedup_simhash_pairs(spark, sf):
     from coords_spark.operators import dedup
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _docs(spark, sf).select("doc_id", "text")
     return dedup.simhash_near_dups(d, max_hamming=8).orderBy("doc_a", "doc_b")
 
 
@@ -1474,7 +1485,7 @@ def embedding_ann_topk(spark, sf):
 def text_quality_scored(spark, sf):
     from coords_spark.operators import text as T
 
-    d = T.with_quality(_t(spark, sf, "documents"))
+    d = T.with_quality(_docs(spark, sf))
     return d.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
