@@ -42,6 +42,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned for the same single-row-group reason as
+    _docs — every bucket/centroid UDF matmul otherwise runs on one task."""
+    return _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned to the session parallelism: the testdata
     table is a single row group, which would serialize every tokenize/
@@ -1121,7 +1129,7 @@ def doc_fingerprint_distinct(spark, sf):
 def knn_cosine_top10(spark, sf):
     """Brute-force cosine top-k in pure higher-order Columns (JVM-side):
     the baseline path; the LSH-bucketed scale path is operators/similarity."""
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     dot = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1145,7 +1153,7 @@ def knn_cosine_top10(spark, sf):
     """,
 )
 def embedding_norms_by_label(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     norm = "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     return (
         e.selectExpr("label", f"{norm} as nrm")
@@ -1454,7 +1462,7 @@ def embedding_ann_topk(spark, sf):
     knn_cosine_top10 SQL-checked query)."""
     from coords_spark.operators import similarity
 
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ann_topk(e, qv, 10, n_planes=8, probe_hamming=2).select(
         "vec_id", F.round("cosine", 5).alias("sim")
@@ -1871,7 +1879,7 @@ def embedding_ann_join_topk(spark, sf):
     exact cosine re-rank confined to the bucket join)."""
     from coords_spark.operators import similarity
 
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -1889,7 +1897,7 @@ def dedup_embedding_cosine_pairs(spark, sf):
     banding + verification scalar-side."""
     from coords_spark.operators import dedup
 
-    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    e = _embs(spark, sf).select("vec_id", "embedding")
     clones = e.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
@@ -1907,7 +1915,7 @@ def embedding_ivf_topk(spark, sf):
     replication in gen_goldens."""
     from coords_spark.operators import similarity
 
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
     )
