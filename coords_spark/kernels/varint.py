@@ -90,5 +90,8 @@ def segmented_delta_decode(deltas: np.ndarray, seg_starts: np.ndarray, seg_lens:
     if d.size == 0:
         return d
     cs = np.cumsum(d, dtype=np.int64)
-    base = cs[seg_starts] - d[seg_starts]
-    return cs - np.repeat(base, seg_lens)
+    # an EMPTY trailing segment starts at d.size — clip its (unused) base
+    # index in-bounds; np.repeat drops zero-length segments anyway
+    ss = np.minimum(np.asarray(seg_starts, dtype=np.int64), d.size - 1)
+    base = cs[ss] - d[ss]
+    return cs - np.repeat(base, np.asarray(seg_lens, dtype=np.int64))

@@ -80,3 +80,44 @@ def test_dp_monotone_and_endpoints(n, seed):
     m_big = simplify.dp_mask(x, y, 5.0)
     assert m_small[0] and m_small[-1] and m_big[0] and m_big[-1]
     assert m_big.sum() <= m_small.sum()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_varint_roundtrip_property(vals):
+    from coords_spark.kernels import varint as V
+
+    v = np.asarray(vals, dtype=np.uint64)
+    assert V.decode_uvarints(V.encode_uvarints(v)).tolist() == v.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200))
+def test_zigzag_roundtrip_property(vals):
+    from coords_spark.kernels import varint as V
+
+    v = np.asarray(vals, dtype=np.int64)
+    assert V.unzigzag(V.zigzag(v)).tolist() == v.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=20),
+        max_size=20,
+    )
+)
+def test_segmented_delta_roundtrip_property(segments):
+    from coords_spark.kernels import varint as V
+
+    lens = np.asarray([len(s) for s in segments], dtype=np.int64)
+    flat = np.asarray([x for s in segments for x in s], dtype=np.int64)
+    starts = np.zeros(len(segments), dtype=np.int64)
+    if len(segments):
+        np.cumsum(lens[:-1], out=starts[1:])
+    deltas = V.delta_encode(flat)
+    if flat.size:
+        nz = lens > 0
+        deltas[starts[nz]] = flat[starts[nz]]
+    out = V.segmented_delta_decode(deltas, starts, lens)
+    assert out.tolist() == flat.tolist()
