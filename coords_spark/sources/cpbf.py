@@ -95,7 +95,10 @@ def _seg_deltas(flat: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
     np.cumsum(seg_lens[:-1], out=seg_starts[1:])
     deltas = V.delta_encode(flat)
     if flat.size:
-        deltas[seg_starts] = flat[seg_starts]
+        # restart only NON-EMPTY segments: an empty segment's start aliases
+        # the next segment's (or falls off the end) and must not be touched
+        nz = seg_lens > 0
+        deltas[seg_starts[nz]] = flat[seg_starts[nz]]
     return deltas
 
 

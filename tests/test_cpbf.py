@@ -158,3 +158,47 @@ def test_streaming_cpbf_ingest_incremental(spark, tmp_path):
     assert got2["n"] == 300
     want_sum = sum(nodes.column("id").to_pylist())
     assert got2["s"] == want_sum
+
+
+def test_edge_case_entities_roundtrip():
+    """Zero-ref ways, memberless relations, empty tag maps — incl at block
+    boundaries (the segmented-delta edge the property test exposed)."""
+    import pyarrow as pa
+
+    ways = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "version": pa.array([1, 1, 1], pa.int32()),
+            "refs": pa.array([[5, 9, 5], [], []], pa.list_(pa.int64())),
+            "tags": pa.array(
+                [[("a", "b")], [], []], pa.map_(pa.string(), pa.string())
+            ),
+        }
+    )
+    rels = pa.table(
+        {
+            "id": pa.array([10, 11], pa.int64()),
+            "version": pa.array([1, 1], pa.int32()),
+            "members": pa.array(
+                [[{"mtype": 1, "ref": 7, "role": "outer"}], []],
+                pa.list_(pa.struct([("mtype", pa.int8()), ("ref", pa.int64()), ("role", pa.string())])),
+            ),
+            "tags": pa.array([[], []], pa.map_(pa.string(), pa.string())),
+        }
+    )
+    for tbl, kind, col in ((ways, cpbf.KIND_WAYS, "refs"), (rels, cpbf.KIND_RELATIONS, "members")):
+        for rpb in (1, 2, 10):  # empty entities land at every block position
+            body_blocks = []
+            import tempfile
+
+            d = tempfile.mkdtemp()
+            paths = cpbf.write_cpbf(tbl, d, kind, rows_per_block=rpb)
+            got = []
+            for p in paths:
+                for body in cpbf.iter_blocks(open(p, "rb").read()):
+                    k, cols = cpbf.decode_block(body)
+                    got.append(cpbf._block_to_batch(k, cols))
+            back = pa.Table.from_batches(got)
+            assert back.column("id").to_pylist() == tbl.column("id").to_pylist()
+            assert back.column(col).to_pylist() == tbl.column(col).to_pylist()
+            assert back.column("tags").to_pylist() == tbl.column("tags").to_pylist()
