@@ -112,6 +112,19 @@ def build_lod_tables(
     return out
 
 
+def lod_for_zoom(zoom: int, lods: list[int]) -> int:
+    """The LOD table a render at `zoom` reads: the FINEST lod <= zoom (a
+    deeper zoom must never read coarser geometry than available), falling
+    back to the coarsest table for zooms below every lod. Pairs
+    build_lod_tables (T7) with ingest.render_read (S5): materialize each
+    LOD via tiling.materialize_chunk_table, then viewport-fetch from the
+    table this picks."""
+    if not lods:
+        raise ValueError("no lod tables")
+    cands = [lv for lv in lods if lv <= zoom]
+    return max(cands) if cands else min(lods)
+
+
 def geom_blob_col(gtype_col, id_col, pts_col) -> Column:
     """Deterministic GenericGeometry-style serialization (the byte-for-byte
     comparison unit, SURVEY §1.2). Single-ring geometries."""

@@ -146,3 +146,17 @@ def test_knn_join_driver_bound(spark, fixture_dir):
     assert {r["qid"] for r in rows} <= {"q0", "q1"}
     with pytest.raises(ValueError, match="viewport-lookup"):
         knn.knn_join(pts, [(f"q{i}", 0, 0) for i in range(2001)], k=1)
+
+
+def test_lod_for_zoom_selection():
+    from coords_spark.operators.geometry import lod_for_zoom
+
+    lods = [6, 10, 14]
+    assert lod_for_zoom(14, lods) == 14
+    assert lod_for_zoom(12, lods) == 10
+    assert lod_for_zoom(20, lods) == 14
+    assert lod_for_zoom(3, lods) == 6  # below every lod -> coarsest
+    import pytest
+
+    with pytest.raises(ValueError):
+        lod_for_zoom(8, [])
