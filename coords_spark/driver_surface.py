@@ -859,7 +859,7 @@ _WORDS_DUCK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
     """,
 )
 def dedup_exact_stats(spark, sf):
-    d = _docs(spark, sf).withColumn("h", F.md5(F.lower(F.col("text"))))
+    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
     return d.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("h").alias("n_distinct"),
@@ -877,7 +877,7 @@ def dedup_exact_stats(spark, sf):
     """,
 )
 def dedup_keep_first(spark, sf):
-    d = _docs(spark, sf).withColumn("h", F.md5(F.lower(F.col("text"))))
+    d = _t(spark, sf, "documents").withColumn("h", F.md5(F.lower(F.col("text"))))
     kept = d.groupBy("lang", "h").agg(F.min("doc_id").alias("keep_id"))
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"), F.sum("keep_id").alias("id_sum")
@@ -1129,7 +1129,7 @@ def doc_fingerprint_distinct(spark, sf):
 def knn_cosine_top10(spark, sf):
     """Brute-force cosine top-k in pure higher-order Columns (JVM-side):
     the baseline path; the LSH-bucketed scale path is operators/similarity."""
-    e = _embs(spark, sf)
+    e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     dot = "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1153,7 +1153,7 @@ def knn_cosine_top10(spark, sf):
     """,
 )
 def embedding_norms_by_label(spark, sf):
-    e = _embs(spark, sf)
+    e = _t(spark, sf, "embeddings")
     norm = "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     return (
         e.selectExpr("label", f"{norm} as nrm")
@@ -1915,7 +1915,7 @@ def embedding_ivf_topk(spark, sf):
     replication in gen_goldens."""
     from coords_spark.operators import similarity
 
-    e = _embs(spark, sf)
+    e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").cast("string").alias("qid"), F.col("embedding").alias("qe")
     )
