@@ -1845,6 +1845,52 @@ def geo_render_bbox(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("icepick_time_travel", None)
+def icepick_time_travel(spark, sf):
+    """Snapshot isolation (S2/S3): two deterministic commits, then read the
+    table AT EACH manifest version — the first snapshot must keep returning
+    exactly the first batch after the second commit lands (append-only
+    manifests, Iceberg semantics). Output: (snap, n_rows, key_sum) per
+    snapshot; golden twin computes both prefixes scalar-side."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coords_spark.sources.icepick import IcepickTable
+
+    tmp = tempfile.mkdtemp(prefix="icepick_tt_")
+    try:
+        t = IcepickTable.create(f"{tmp}/t")
+        snaps = []
+        for b, (lo, hi) in enumerate([(0, 700), (700, 1000)]):
+            stage = f"{tmp}/stage{b}"
+            import os as _os
+
+            _os.makedirs(stage, exist_ok=True)
+            keys = list(range(lo, hi))
+            pq.write_table(
+                pa.table({"image_id": pa.array(keys, pa.int64()),
+                          "chunk_id": pa.array([k % 7 for k in keys], pa.int64())}),
+                f"{stage}/part-0.parquet",
+            )
+            t.commit_staged(stage, group=f"b{b}")
+            snaps.append(t.current_manifest()["version"])
+        rows = []
+        for i, v in enumerate(snaps):
+            df = spark.read.parquet(*t.data_paths(version=v))
+            r = df.agg(
+                F.count("*").alias("n"), F.sum("image_id").alias("s")
+            ).collect()[0]
+            rows.append((i + 1, int(r["n"]), int(r["s"])))
+        return spark.createDataFrame(rows, "snap int, n_rows long, key_sum long").orderBy(
+            "snap"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("geo_render_tiles", None)
 def geo_render_tiles(spark, sf):
     """Viewport -> per-TILE aggregation at the render zoom (the shape the

@@ -704,6 +704,16 @@ def g_icepick_roundtrip_stats():
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
 
 
+def g_icepick_time_travel():
+    """Scalar twin of the snapshot-isolation query: the two deterministic
+    key prefixes' counts and sums."""
+    rows = [
+        (1, 700, sum(range(700))),        # snapshot after commit 1
+        (2, 1000, sum(range(1000))),      # snapshot after commit 2 (both)
+    ]
+    return ["snap", "n_rows", "key_sum"], rows, {"snap": "INTEGER"}
+
+
 def g_geo_render_tiles(zoom: int = 8):
     """Scalar twin of the per-tile viewport aggregation: bbox filter on the
     anchor lat/lon, cell id at the render zoom, (count, key sum) per tile."""
@@ -801,6 +811,7 @@ GENERATORS = {
     "geo_render_bbox": g_geo_render_bbox,
     "cpbf_ingest_stats": g_cpbf_ingest_stats,
     "geo_render_tiles": g_geo_render_tiles,
+    "icepick_time_travel": g_icepick_time_travel,
     "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
