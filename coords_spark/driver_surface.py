@@ -2258,12 +2258,17 @@ _WINDOW_FIRST = [
     "geo_coastline_classify",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
-    "embedding_ann_topk",
+    # embedding_ann_topk (single-query probe) rotates out — ann_join/ivf/
+    # cosine-pairs keep the LSH-ANN family pinned; geo_render_tiles takes
+    # the slot (the per-tile render aggregation, new this round)
+    "geo_render_tiles",
     "embedding_ann_join_topk",
     "geo_osm_way_tiling",
     "geo_lod_tables",
     "geo_multipolygon_assembly",
-    "geo_chunk_rollup",
+    # geo_chunk_rollup rotates out (icepick_roundtrip_stats runs the same
+    # rollup+assignment transitively); icepick_time_travel takes the slot
+    "icepick_time_travel",
     "geo_node_way_reverse_index",
     "icepick_roundtrip_stats",
     "osm_tag_histogram",
