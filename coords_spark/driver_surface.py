@@ -1439,13 +1439,29 @@ def dedup_minhash_lsh_pairs(spark, sf):
     (engine-native variant of the md5 SQL twin; rows-only check)."""
     from coords_spark.operators import dedup
 
-    d = (
-        _docs(spark, sf)
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)  # see ngram query
-    )
+    d = _docs(spark, sf).select("doc_id", "text")
     cand = dedup.minhash_lsh_candidates(d, n_bands=8, rows_per_band=2)
     return dedup.jaccard_verify(d, cand, threshold=0.3).orderBy("doc_a", "doc_b")
+
+
+@_q("dedup_cluster_stats", None)
+def dedup_cluster_stats(spark, sf):
+    """Duplicate-cluster consolidation: the verified MinHash near-dup PAIRS
+    collapse into connected components (min-label propagation) and each
+    cluster reports its canonical id + size — the decision a pipeline
+    actually applies (keep one doc per CLUSTER). Golden twin runs
+    union-find over the independently recomputed pair set."""
+    from coords_spark.operators import dedup
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    cand = dedup.minhash_lsh_candidates(d, n_bands=8, rows_per_band=2)
+    pairs = dedup.jaccard_verify(d, cand, threshold=0.3)
+    return (
+        dedup.dup_clusters(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("doc_id_sum"))
+        .orderBy("cluster_id")
+    )
 
 
 @_q("dedup_simhash_pairs", None)

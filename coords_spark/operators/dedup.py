@@ -232,6 +232,56 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, threshold: float, text_
     )
 
 
+def dup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                 max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-dup PAIRS by
+    iterative min-label propagation — the consolidation step a training
+    pipeline runs after any pairwise dedup (exact/MinHash/SimHash/
+    embedding): pick one canonical doc per duplicate CLUSTER, not per pair.
+    cluster_id is the component's smallest doc_id (deterministic).
+
+    Scale posture: each iteration is two equi-join shuffles on doc id; the
+    iteration count is bounded by the component diameter, and near-dup
+    components are small-diameter by construction (capped_buckets bounds
+    any cluster's pair fan-out). Labels are localCheckpoint'ed per
+    iteration so lineage stays flat; convergence is detected by a changed
+    count (0 -> stop). Docs in no pair are absent from the output
+    (singleton clusters carry no dedup decision)."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every iteration — cut to a stable base
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(prop, labels["node"] == prop["pnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64_col(text_col) -> F.Column:
     """SimHash-64 over whitespace tokens: weighted bit-vote of per-token
     splitmix64 hashes.

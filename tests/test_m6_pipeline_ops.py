@@ -665,3 +665,18 @@ def test_decode_error_counts_reach_driver(spark, imgs):
     gained = sum(after.values()) - sum(before.values())
     assert gained >= 10, (before, after)
     assert any(isinstance(k, tuple) and len(k) == 2 for k in after)
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chain a-b-c plus pair d-e: two components labeled by their min id;
+    convergence within diameter iterations; singletons absent."""
+    from coords_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

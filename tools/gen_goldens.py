@@ -704,6 +704,33 @@ def g_icepick_roundtrip_stats():
     return ["chunk_id", "n_points"], [(r[0], r[1]) for r in rows], {}
 
 
+def g_dedup_cluster_stats():
+    """Union-find over the independently recomputed verified MinHash pair
+    set (the scalar twin of dup_clusters' min-label propagation)."""
+    _, pair_rows, _ = g_dedup_minhash_lsh_pairs()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _j in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    clusters: dict[int, list[int]] = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    rows = [
+        (min(members), len(members), sum(members))
+        for members in clusters.values()
+    ]
+    return ["cluster_id", "n_docs", "doc_id_sum"], sorted(rows), {}
+
+
 def g_icepick_time_travel():
     """Scalar twin of the snapshot-isolation query: the two deterministic
     key prefixes' counts and sums."""
@@ -812,6 +839,7 @@ GENERATORS = {
     "cpbf_ingest_stats": g_cpbf_ingest_stats,
     "geo_render_tiles": g_geo_render_tiles,
     "icepick_time_travel": g_icepick_time_travel,
+    "dedup_cluster_stats": g_dedup_cluster_stats,
     "ingest_ledger_invariant": g_ingest_ledger_invariant,
     "osm_tag_histogram": g_osm_tag_histogram,
     "geo_node_way_reverse_index": g_geo_node_way_reverse_index,
