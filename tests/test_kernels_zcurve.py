@@ -156,3 +156,25 @@ def test_bbox_cover_ranges_complete_and_tight():
                     for lo, hi in rs
                 )
                 assert width == len(cells), (lv, width, len(cells))
+
+
+def test_bbox_cover_ranges_bounded_for_wide_deep_viewports():
+    """A deep zoom over a huge viewport must auto-coarsen: the range list
+    stays small and bounded, and completeness survives (every level-L cell
+    intersecting the bbox falls in some range) — file pruning must never
+    drop a viewport file no matter the zoom/extent combination."""
+    from coords_spark.kernels import zcurve
+
+    g = zcurve.GRID
+    # half the planet at zoom 20: raw cover would be ~2^38 cells
+    ranges = zcurve.bbox_cover_ranges(0, 0, g // 2, g // 2, zoom=20, max_level=12)
+    assert len(ranges) < 5000, len(ranges)
+    for lv in (0, 3, 6):
+        cells = zcurve.cover_envelope(0, 0, g // 2, g // 2, lv)
+        rs = [
+            (lo, hi)
+            for lo, hi in ranges
+            if int(zcurve.cell_level(np.asarray(lo))) == lv
+        ]
+        for c in cells.tolist():
+            assert any(lo <= c <= hi for lo, hi in rs), (lv, c)
