@@ -69,3 +69,50 @@ def stream_ingest_images(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_ingest_nodes(
+    nodes_stream: DataFrame,
+    table_path: str,
+    split_set,
+    base_level: int,
+    checkpoint_dir: str,
+):
+    """Streaming PLANET ingest: a cpbf node stream (sources.cpbf.
+    read_cpbf_stream) -> cell encode (lat/lon Arrow kernel) -> chunk
+    assignment against a fixed split set -> icepick, with the same
+    exactly-once ledger as the image ingest (group = stream batch id;
+    replays are no-ops). Tags are carried as JSON so the parquet schema
+    stays flat."""
+    from coords_spark.operators import knn as K
+    from coords_spark.operators import tiling as T
+    from coords_spark.sources.icepick import IcepickTable
+
+    table = IcepickTable.create(table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        group = f"stream-{batch_id}"
+        if group in table.committed_groups():
+            return  # replayed batch after a crash: already durable
+        chunked = T.with_chunk(
+            batch_df.withColumn("cell", K.cell_at_level_col(base_level))
+            .withColumn("tags_json", F.to_json("tags"))
+            .drop("tags"),
+            split_set,
+            base_level=base_level,
+        )
+        staging = os.path.join(table_path, f"_staging-{group}")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            chunked.repartition("chunk_id")
+            .sortWithinPartitions("chunk_id")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        table.commit_staged(staging, group=group, chunk_col="chunk_id")
+
+    return (
+        nodes_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -202,3 +202,63 @@ def test_edge_case_entities_roundtrip():
             assert back.column("id").to_pylist() == tbl.column("id").to_pylist()
             assert back.column(col).to_pylist() == tbl.column(col).to_pylist()
             assert back.column("tags").to_pylist() == tbl.column("tags").to_pylist()
+
+
+def test_streaming_planet_ingest_exactly_once(spark, tmp_path):
+    """cpbf node stream -> cell -> chunk -> icepick, exactly-once: two
+    availableNow drains over two file drops produce the same row set and
+    chunk assignments as the batch path, with one manifest group per
+    micro-batch and no duplicates on re-drain."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from coords_spark.fixtures import gen_nodes
+    from coords_spark.operators import knn as K
+    from coords_spark.operators import tiling as T
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import ingest_stream as S
+
+    nodes = gen_nodes(1000)
+    src = tmp_path / "pbf"
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # split set from the full batch (the production flow computes it on a
+    # seed batch or prior snapshot)
+    batch = spark.createDataFrame(nodes.to_pandas()[["id", "lat", "lon"]])
+    pts = batch.withColumn("cell", K.cell_at_level_col(8)).withColumn(
+        "nbytes", F.lit(4096).cast("long")
+    )
+    split = T.compute_split_set(pts, max_bytes=256 * 1024, base_level=8)
+
+    cpbf.write_cpbf(nodes.slice(0, 600), str(src), cpbf.KIND_NODES, basename="d0",
+                    rows_per_block=128, blocks_per_file=2)
+    q = S.stream_ingest_nodes(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_NODES), out, split, 8, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    t = IcepickTable(out)
+    assert t.total_rows() == 600
+    cpbf.write_cpbf(nodes.slice(600, 400), str(src), cpbf.KIND_NODES, basename="d1",
+                    rows_per_block=128, blocks_per_file=2)
+    q = S.stream_ingest_nodes(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_NODES), out, split, 8, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    assert t.total_rows() == 1000
+    # re-drain with nothing new: no duplicates
+    q = S.stream_ingest_nodes(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_NODES), out, split, 8, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    assert t.total_rows() == 1000
+    # chunk assignments equal the batch pipeline's
+    got = {
+        r["id"]: r["chunk_id"]
+        for r in spark.read.parquet(*t.data_paths()).select("id", "chunk_id").collect()
+    }
+    want = {
+        r["id"]: r["chunk_id"]
+        for r in T.with_chunk(pts, split, base_level=8).select("id", "chunk_id").collect()
+    }
+    assert got == want and len(got) == 1000
