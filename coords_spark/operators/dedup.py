@@ -282,6 +282,21 @@ def dup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def keep_canonical(docs: DataFrame, pairs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Apply the cluster decision: drop every doc that belongs to a
+    near-dup cluster but is not its canonical (smallest-id) member.
+    Docs in no pair survive untouched. One left-anti join against the
+    non-canonical membership set — the final write-side step of the dedup
+    pipeline (pairs from any of the exact/MinHash/SimHash/embedding
+    generators)."""
+    non_canonical = (
+        dup_clusters(pairs, a="doc_a", b="doc_b")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(key_col))
+    )
+    return docs.join(non_canonical, key_col, "left_anti")
+
+
 def simhash64_col(text_col) -> F.Column:
     """SimHash-64 over whitespace tokens: weighted bit-vote of per-token
     splitmix64 hashes.

@@ -680,3 +680,13 @@ def test_dup_clusters_connected_components(spark):
         for r in dedup.dup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_keep_canonical_applies_cluster_decision(spark):
+    from coords_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in dedup.keep_canonical(docs, pairs).collect())
+    # clusters {1,2,3}->1 and {5,6}->5; 4 and 7 are singletons
+    assert kept == [1, 4, 5, 7]
