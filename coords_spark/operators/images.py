@@ -86,7 +86,15 @@ def decode_error_accumulator():
 
 
 def decode_error_counts() -> dict[tuple[str, str], int]:
-    """Driver-side view of all executors' decode-error tallies."""
+    """Driver-side view of all executors' decode-error tallies.
+
+    AT-LEAST-ONCE semantics (ADVICE r4): the accumulator is updated inside
+    UDF *transformations*, and Spark only guarantees exactly-once
+    accumulator updates inside actions — task retries, speculative
+    execution, or stage re-runs double-count. Treat these tallies as
+    indicative observability (is decode failing, for which fmt/exception),
+    never as exact row counts; exact counts come from the flagged rows
+    themselves (decode_ok = false)."""
     acc = _ACC_STATE["acc"]
     return dict(acc.value) if acc is not None else {}
 

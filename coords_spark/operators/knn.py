@@ -63,6 +63,7 @@ def knn_join(
     level: int = 12,
     point_key: str = "image_id",
     max_rounds: int = 16,
+    max_queries: int = 2000,
 ) -> DataFrame:
     """points: (point_key, lat, lon); queries: [(qid, lat_i32, lon_i32)].
     Returns (qid, rank, <point_key>, dist_units), rank 1..k by mercator-grid
@@ -78,11 +79,16 @@ def knn_join(
     (vectors keyed by bucket/cell, queries exploded over probes, one
     equi-join, per-query window top-k — nothing query-proportional ever
     materializes on the driver)."""
-    if len(queries) > 2000:
+    # max_queries bounds DRIVER memory (result rows + broadcast disk cells
+    # are O(|queries|)); it is a keyword so callers with bigger/smaller
+    # driver budgets can opt up or down (ADVICE r4) — the guidance to route
+    # large sets to the distributed ANN joins stands regardless.
+    if len(queries) > max_queries:
         raise ValueError(
             f"knn_join is a viewport-lookup operator ({len(queries)} queries "
-            "given); route large query sets to similarity.ann_topk_join / "
-            "ivf_topk_join (fully distributed)"
+            f"given, max_queries={max_queries}); route large query sets to "
+            "similarity.ann_topk_join / ivf_topk_join (fully distributed), "
+            "or raise max_queries= if your driver memory allows"
         )
     spark = points.sparkSession
     cell_size = 1 << (zcurve.MAX_LEVEL - level)

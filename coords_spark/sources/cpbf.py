@@ -202,8 +202,14 @@ def iter_blocks(content: bytes) -> Iterator[bytes]:
     pos = len(MAGIC)
     total = len(content)
     while pos < total:
+        if pos + 4 > total:
+            raise ValueError("truncated cpbf block header")
         (clen,) = struct.unpack_from("<I", content, pos)
         pos += 4
+        # validate BEFORE zlib so a damaged file raises a diagnosable
+        # ValueError, not an opaque zlib.error mid-iteration (ADVICE r4)
+        if clen == 0 or pos + clen > total:
+            raise ValueError("truncated cpbf block")
         yield zlib.decompress(content[pos : pos + clen])
         pos += clen
 
