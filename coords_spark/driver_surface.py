@@ -1811,6 +1811,82 @@ def cpbf_ingest_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("pbf_ingest_stats", None)
+def pbf_ingest_stats(spark, sf):
+    """S1 — the REAL .osm.pbf protobuf front door (SURVEY §2.1 S1, VERDICT
+    r4 ask #1): the entity fixtures are ENCODED into a spec-valid OSM PBF
+    file (BlobHeader/Blob framing, zlib PrimitiveBlocks, DenseNodes,
+    delta-packed refs/memids, string-table tags), decoded back through the
+    distributed blob-index + seek-read path (sources/osmpbf.py), and
+    checksummed per entity kind with the SAME stat formula as
+    cpbf_ingest_stats — the golden twin computes those stats straight from
+    the fixture tables, so any wire-format slip (zigzag, delta restart,
+    keys_vals delimiting, member roles) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_relations, gen_ways
+    from coords_spark.sources import osmpbf
+
+    tmp = tempfile.mkdtemp(prefix="osmpbf_")
+    try:
+        p = f"{tmp}/mini.osm.pbf"
+        osmpbf.write_osmpbf(
+            p,
+            nodes=gen_nodes(4000),
+            ways=gen_ways(600, 4000),
+            relations=gen_relations(200)[0],
+            rows_per_block=512,
+        )
+        nd = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_NODES)
+        wd = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_WAYS)
+        rd = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_RELATIONS)
+        tag_crc = (
+            "aggregate(transform(map_entries(tags), "
+            "e -> crc32(cast(concat(e.key, '=', e.value) as binary))), "
+            "0L, (a, x) -> a + x)"
+        )
+        n_stats = nd.select(
+            F.lit("nodes").alias("kind"),
+            "id",
+            (F.col("lat").cast("long") + F.col("lon").cast("long")).alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
+        w_stats = wd.select(
+            F.lit("ways").alias("kind"),
+            "id",
+            F.expr("aggregate(refs, 0L, (a, x) -> a + x)").alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
+        r_stats = rd.select(
+            F.lit("relations").alias("kind"),
+            "id",
+            F.expr(
+                "aggregate(transform(members, m -> cast(m.mtype as long) * 1000003 "
+                "+ m.ref + crc32(cast(m.role as binary))), 0L, (a, x) -> a + x)"
+            ).alias("payload"),
+            F.size(F.map_keys("tags")).cast("long").alias("ntags"),
+            F.expr(tag_crc).alias("tcrc"),
+        )
+        return (
+            n_stats.unionAll(w_stats).unionAll(r_stats)
+            .groupBy("kind")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("id").alias("id_sum"),
+                F.sum("payload").alias("payload_sum"),
+                F.sum("ntags").alias("n_tags"),
+                F.sum("tcrc").alias("tag_crc_sum"),
+            )
+            .orderBy("kind")
+            .localCheckpoint()  # materialize before the tmp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("geo_render_bbox", None)
 def geo_render_bbox(spark, sf):
     """The reference's primary user-facing READ (SURVEY §2.1 S5 / §3 E3
@@ -2311,8 +2387,19 @@ _WINDOW_FIRST = [
     "text_quality_scored",
     "dedup_embedding_cosine_pairs",
     "embedding_ivf_topk",
+    # r5 rotation (VERDICT r4 ask #2): the last 3 never-driver-checked
+    # queries move IN, plus the NEW pbf_ingest_stats (real .osm.pbf front
+    # door, r4 ask #1). Rotated OUT to make room — all hash-green in
+    # CORRECTNESS_r04 with an in-window family representative remaining:
+    # stats_global_orders (agg family: having/bucket/grouping_sets stay),
+    # window_lag_delta (window_running_user_value stays),
+    # set_except_all_segments (set_except_nations stays),
+    # math_funcs_suppliers (scalar_functions_suite + string_funcs stay).
+    "array_funcs_parts",
+    "map_funcs_events",
+    "dedup_cluster_stats",
+    "pbf_ingest_stats",
     # no driver row in r3 (had rows in r1/r2 under the old ordering)
-    "stats_global_orders",
     "distinct_parts_per_supplier",
     "grouping_sets_nation_region",
     "having_big_customers",
@@ -2320,13 +2407,10 @@ _WINDOW_FIRST = [
     "anti_join_idle_customers",
     "exists_discounted_orders",
     "window_running_user_value",
-    "window_lag_delta",
     "set_except_nations",
-    "set_except_all_segments",
     "string_funcs_parts",
     "date_buckets_orders",
     "json_props_stats",
-    "math_funcs_suppliers",
     "case_when_segments",
     "embedding_norms_by_label",
     "sliding_window_user_counts",

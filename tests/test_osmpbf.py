@@ -1,0 +1,197 @@
+"""Real .osm.pbf front door (SURVEY.md §2.1 S1; VERDICT r4 ask #1): the
+protobuf wire-format reader must roundtrip the entity fixtures
+byte-identically through the distributed blob-index + seek-read path, and
+the blob index must actually split ONE file into many work units."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from coords_spark.fixtures import gen_nodes, gen_relations, gen_ways
+from coords_spark.kernels import proto as P
+from coords_spark.sources import osmpbf
+
+
+def test_wire_walk_roundtrip_scalars():
+    msg = (
+        P.enc_field_varint(1, 300)
+        + P.enc_field_len(2, b"hello")
+        + P.enc_field_varint(17, 100)
+        + P.enc_key(3, P.WT_FIXED64) + struct.pack("<Q", 7)
+        + P.enc_key(4, P.WT_FIXED32) + struct.pack("<I", 9)
+    )
+    fd = P.fields_dict(msg, 0, len(msg))
+    assert fd[1] == [300] and fd[17] == [100] and fd[3] == [7] and fd[4] == [9]
+    s, e = fd[2][0]
+    assert msg[s:e] == b"hello"
+
+
+def test_wire_truncation_detected():
+    msg = P.enc_field_len(2, b"hello")
+    with pytest.raises(ValueError):
+        P.fields_dict(msg[:-2], 0, len(msg) - 2)
+
+
+def test_packed_bulk_span_counting():
+    rng = np.random.default_rng(7)
+    segs = [rng.integers(0, 1 << 40, rng.integers(0, 9), dtype=np.int64).astype(np.uint64)
+            for _ in range(50)]
+    payloads = [P.enc_packed_uvarints(8, s) for s in segs]
+    buf = b"".join(payloads)
+    spans, pos = [], 0
+    for p, s in zip(payloads, segs):
+        if not p:
+            spans.append((0, 0))
+            continue
+        fd = P.fields_dict(buf, pos, pos + len(p))
+        spans.append(fd[8][0])
+        pos += len(p)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    tc = np.cumsum(arr < 0x80)
+    starts = np.asarray([a for a, _ in spans])
+    ends = np.asarray([b for _, b in spans])
+    counts = P.count_varints_per_span(tc, starts, ends)
+    assert (counts == np.asarray([len(s) for s in segs])).all()
+    from coords_spark.kernels import varint as V
+
+    vals = V.decode_uvarints(P.concat_spans(buf, starts, ends))
+    assert (vals == np.concatenate(segs)).all()
+
+
+@pytest.fixture(scope="module")
+def pbf_path(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("osmpbf")
+    nodes, ways, rels = gen_nodes(4000), gen_ways(600, 4000), gen_relations(200)[0]
+    p = str(d / "mini.osm.pbf")
+    osmpbf.write_osmpbf(p, nodes=nodes, ways=ways, relations=rels, rows_per_block=512)
+    pq.write_table(nodes, str(d / "nodes.parquet"))
+    pq.write_table(ways, str(d / "ways.parquet"))
+    pq.write_table(rels, str(d / "rels.parquet"))
+    return p
+
+
+def test_header_and_blob_index(pbf_path):
+    hdr = osmpbf.read_header_block(pbf_path)
+    assert "DenseNodes" in hdr["required_features"]
+    assert hdr["writingprogram"] == "coords_spark"
+    idx = osmpbf.scan_blob_index(pbf_path)
+    kinds = [t for t, _, _ in idx]
+    assert kinds[0] == "OSMHeader"
+    # 4000/512 node blobs + 600/512 way blobs + 200/512 rel blobs: ONE file
+    # yields many independently-decodable work units (the scale story)
+    assert kinds.count("OSMData") == 8 + 2 + 1
+
+
+def _rows(df, exprs, cols):
+    return sorted(tuple(r) for r in df.selectExpr(*exprs).select(*cols).collect())
+
+
+def test_spark_decode_nodes_byte_identical(spark, pbf_path):
+    got = osmpbf.read_osmpbf(spark, pbf_path, osmpbf.KIND_NODES)
+    want = spark.read.parquet(os.path.join(os.path.dirname(pbf_path), "nodes.parquet"))
+    ex = ["id", "version", "lat", "lon", "to_json(tags) as t"]
+    cols = ["id", "version", "lat", "lon", "t"]
+    assert _rows(got, ex, cols) == _rows(want, ex, cols)
+    assert got.count() == 4000
+
+
+def test_spark_decode_ways_byte_identical(spark, pbf_path):
+    got = osmpbf.read_osmpbf(spark, pbf_path, osmpbf.KIND_WAYS)
+    want = spark.read.parquet(os.path.join(os.path.dirname(pbf_path), "ways.parquet"))
+    ex = ["id", "version", "to_json(refs) as r", "to_json(tags) as t"]
+    cols = ["id", "version", "r", "t"]
+    assert _rows(got, ex, cols) == _rows(want, ex, cols)
+
+
+def test_spark_decode_relations_byte_identical(spark, pbf_path):
+    got = osmpbf.read_osmpbf(spark, pbf_path, osmpbf.KIND_RELATIONS)
+    want = spark.read.parquet(os.path.join(os.path.dirname(pbf_path), "rels.parquet"))
+    ex = ["id", "version", "to_json(members) as m", "to_json(tags) as t"]
+    cols = ["id", "version", "m", "t"]
+    assert _rows(got, ex, cols) == _rows(want, ex, cols)
+
+
+def test_plain_nodes_group_decoded(tmp_path):
+    """Spec-legal non-dense Node messages must decode too (hand-built
+    group, since our writer always emits DenseNodes)."""
+    table = osmpbf._stringtable([b"highway", b"stop"])
+    node = (
+        P.enc_field_sint64(1, 42)
+        + P.enc_packed_uvarints(2, np.asarray([1], dtype=np.uint64))
+        + P.enc_packed_uvarints(3, np.asarray([2], dtype=np.uint64))
+        + P.enc_field_len(4, P.enc_field_varint(1, 3))
+        + P.enc_field_sint64(8, 515000000)
+        + P.enc_field_sint64(9, -1000)
+    )
+    block = (
+        P.enc_field_len(1, table)
+        + P.enc_field_len(2, P.enc_field_len(1, node))
+        + P.enc_field_varint(17, 100)
+    )
+    batches = list(osmpbf.decode_primitive_block(block, osmpbf.KIND_NODES))
+    assert len(batches) == 1
+    row = batches[0].to_pylist()[0]
+    assert row["id"] == 42 and row["version"] == 3
+    assert row["lat"] == 515000000 and row["lon"] == -1000
+    assert row["tags"] == [("highway", "stop")]
+
+
+def test_granularity_and_offsets_applied():
+    """granularity=1000 + offsets: decoded i32 units are nanodeg // 100."""
+    nodes = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "version": pa.array([1], pa.int32()),
+            "lat": pa.array([7], pa.int32()),
+            "lon": pa.array([-3], pa.int32()),
+            "tags": pa.array([[]], pa.map_(pa.string(), pa.string())),
+        }
+    )
+    # hand-encode a dense block with granularity 1000 and lat_offset 500
+    from coords_spark.kernels import varint as V
+
+    dense = (
+        P.enc_packed_sint64(1, np.asarray([1]))
+        + P.enc_packed_sint64(8, np.asarray([7]))
+        + P.enc_packed_sint64(9, np.asarray([-3]))
+    )
+    block = (
+        P.enc_field_len(1, osmpbf._stringtable([]))
+        + P.enc_field_len(2, P.enc_field_len(2, dense))
+        + P.enc_field_varint(17, 1000)
+        + P.enc_field_varint(19, 500)
+    )
+    row = list(osmpbf.decode_primitive_block(block, osmpbf.KIND_NODES))[0].to_pylist()[0]
+    assert row["lat"] == (500 + 1000 * 7) // 100
+    assert row["lon"] == (1000 * -3) // 100
+    assert row["version"] == -1  # no denseinfo -> spec default
+
+
+def test_truncated_file_rejected(pbf_path, tmp_path):
+    data = open(pbf_path, "rb").read()
+    p = tmp_path / "trunc.osm.pbf"
+    p.write_bytes(data[: len(data) - 10])
+    with pytest.raises(ValueError, match="truncated pbf"):
+        osmpbf.scan_blob_index(str(p))
+
+
+def test_raw_uncompressed_blob_supported(tmp_path):
+    """Blob.raw (f1) is spec-legal; the reader must accept it."""
+    nodes = gen_nodes(10)
+    block = osmpbf._dense_group(nodes, 0, 10)
+    body = P.enc_field_len(1, block)
+    hdr = P.enc_field_len(1, b"OSMData") + P.enc_field_varint(3, len(body))
+    p = tmp_path / "raw.osm.pbf"
+    p.write_bytes(struct.pack(">I", len(hdr)) + hdr + body)
+    idx = osmpbf.scan_blob_index(str(p))
+    with open(p, "rb") as f:
+        f.seek(idx[0][1])
+        data = osmpbf.decode_blob(f.read(idx[0][2]))
+    got = list(osmpbf.decode_primitive_block(data, osmpbf.KIND_NODES))[0]
+    assert got.num_rows == 10

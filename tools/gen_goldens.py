@@ -837,6 +837,9 @@ GENERATORS = {
     "icepick_roundtrip_stats": g_icepick_roundtrip_stats,
     "geo_render_bbox": g_geo_render_bbox,
     "cpbf_ingest_stats": g_cpbf_ingest_stats,
+    # same independent fixture-table stats pin BOTH codec front doors —
+    # the golden never routes through either codec, so it gates each
+    "pbf_ingest_stats": g_cpbf_ingest_stats,
     "geo_render_tiles": g_geo_render_tiles,
     "icepick_time_travel": g_icepick_time_travel,
     "dedup_cluster_stats": g_dedup_cluster_stats,
