@@ -110,17 +110,16 @@ class IcepickTable:
 
     # -- commits -------------------------------------------------------------
 
-    def commit_staged(
+    def _finalize_staged(
         self,
         staging_dir: str,
-        group: str | int | None = None,
-        chunk_col: str = "chunk_id",
-        extra_stats: dict | None = None,
+        group: str | int | None,
+        chunk_col: str,
+        extra_stats: dict | None,
     ) -> list[dict]:
-        """Finalize every parquet file under staging_dir into the table as
-        one atomic commit tagged with `group` (the resume unit). Computes
-        per-file lineage: rows, chunk_col min/max (from parquet metadata —
-        no data read), sha256."""
+        """Move every parquet under staging_dir into data/ (fsync'd) and
+        return their manifest entries with per-file lineage: rows,
+        chunk_col min/max (from parquet metadata — no data read), sha256."""
         staged = sorted(glob.glob(os.path.join(staging_dir, "**", "*.parquet"), recursive=True))
         entries = []
         gstr = None if group is None else str(group)
@@ -162,9 +161,52 @@ class IcepickTable:
             )
         if entries:
             self._fsync_dir(self.data_dir)
+        return entries
+
+    def commit_staged(
+        self,
+        staging_dir: str,
+        group: str | int | None = None,
+        chunk_col: str = "chunk_id",
+        extra_stats: dict | None = None,
+    ) -> list[dict]:
+        """Finalize every parquet file under staging_dir into the table as
+        one atomic commit tagged with `group` (the resume unit)."""
+        entries = self._finalize_staged(staging_dir, group, chunk_col, extra_stats)
+        gstr = None if group is None else str(group)
         man = self.current_manifest()
         man["version"] += 1
         man["files"] = man["files"] + entries
+        if gstr is not None and gstr not in man["committed_groups"]:
+            man["committed_groups"] = man["committed_groups"] + [gstr]
+        self._write_manifest(man)
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        return entries
+
+    def commit_replace(
+        self,
+        staging_dir: str,
+        drop_paths: list[str],
+        group: str | int | None = None,
+        chunk_col: str = "chunk_id",
+        extra_stats: dict | None = None,
+    ) -> list[dict]:
+        """One atomic commit that ADDS every staged parquet AND DROPS the
+        manifest-relative `drop_paths` — the incremental-update commit
+        (operators/update.py apply_node_diff). Dropped data files stay on
+        disk: older manifests still reference them, so time travel keeps
+        working (Iceberg delete-file semantics, rewrite flavor)."""
+        man = self.current_manifest()
+        have = {f["path"] for f in man["files"]}
+        missing = set(drop_paths) - have
+        if missing:
+            raise ValueError(f"commit_replace: paths not in current manifest: {sorted(missing)}")
+        entries = self._finalize_staged(staging_dir, group, chunk_col, extra_stats)
+        gstr = None if group is None else str(group)
+        drop = set(drop_paths)
+        man = self.current_manifest()
+        man["version"] += 1
+        man["files"] = [f for f in man["files"] if f["path"] not in drop] + entries
         if gstr is not None and gstr not in man["committed_groups"]:
             man["committed_groups"] = man["committed_groups"] + [gstr]
         self._write_manifest(man)
@@ -181,7 +223,17 @@ class IcepickTable:
             self._write_manifest(man)
 
     def _next_file_seq(self) -> int:
-        return len(self.current_manifest()["files"])
+        # max on-disk seq + 1, NOT len(manifest files): commit_replace drops
+        # manifest entries while their data files remain for time travel, so
+        # a count-based seq could collide with (and overwrite) a retained file
+        mx = -1
+        for n in os.listdir(self.data_dir):
+            if n.startswith("part-"):
+                try:
+                    mx = max(mx, int(n[5:11]))
+                except ValueError:
+                    pass
+        return mx + 1
 
     # -- reads ---------------------------------------------------------------
 
