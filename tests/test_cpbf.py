@@ -262,3 +262,100 @@ def test_streaming_planet_ingest_exactly_once(spark, tmp_path):
         for r in T.with_chunk(pts, split, base_level=8).select("id", "chunk_id").collect()
     }
     assert got == want and len(got) == 1000
+
+
+def test_streaming_way_ingest_matches_batch(spark, tmp_path):
+    """Way stream (VERDICT r4 ask #7): a 3-file cpbf way stream, resolved
+    per micro-batch against the static node table, must land the same
+    chunked rows as the batch twin (chunk_way_batch over the batch read),
+    exactly-once across two drains + an empty re-drain."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import tiling as T
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import ingest_stream as S
+
+    nodes, ways = gen_nodes(2000), gen_ways(300, 2000)
+    src = tmp_path / "waypbf"
+    out = str(tmp_path / "waytable")
+    ckpt = str(tmp_path / "wayckpt")
+    nodes_df = spark.createDataFrame(nodes).localCheckpoint()
+
+    bl = T.DEFAULT_BASE_LEVEL
+    batch_ways = lambda: cpbf.read_cpbf(spark, str(src), cpbf.KIND_WAYS)  # noqa: E731
+    # split from the full way set (production: seed batch / prior snapshot)
+    cpbf.write_cpbf(ways, str(tmp_path / "all"), cpbf.KIND_WAYS, rows_per_block=100)
+    allw = cpbf.read_cpbf(spark, str(tmp_path / "all"), cpbf.KIND_WAYS)
+    from coords_spark.operators import geometry, resolve
+
+    from pyspark.sql import functions as F
+
+    g = geometry.with_geometry_cell(
+        geometry.with_envelope(resolve.resolve_ways(allw, nodes_df))
+    ).withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
+    split = T.compute_split_set(g, max_bytes=8 * 1024, base_level=bl)
+
+    # drop 1: two files; drop 2: one more file; then an empty re-drain
+    cpbf.write_cpbf(ways.slice(0, 200), str(src), cpbf.KIND_WAYS, basename="d0",
+                    rows_per_block=50, blocks_per_file=2)
+    q = S.stream_ingest_ways(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_WAYS), nodes_df, out, split, bl, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    cpbf.write_cpbf(ways.slice(200, 100), str(src), cpbf.KIND_WAYS, basename="d1",
+                    rows_per_block=50, blocks_per_file=2)
+    q = S.stream_ingest_ways(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_WAYS), nodes_df, out, split, bl, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    q = S.stream_ingest_ways(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_WAYS), nodes_df, out, split, bl, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+
+    t = IcepickTable(out)
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.selectExpr(
+            "way_id", "chunk_id", "to_json(pts) as p", "tags_json"
+        ).collect()
+    )
+    got = rows(spark.read.parquet(*t.data_paths()))
+    want = rows(S.chunk_way_batch(batch_ways(), nodes_df, split, bl))
+    assert got == want and len(got) == 300
+
+
+def test_streaming_relation_ingest_matches_batch(spark, tmp_path):
+    """Relation stream (VERDICT r4 ask #7): members join the static
+    resolved-way table per batch; stream rows must equal the batch twin."""
+    from pyspark.sql import functions as FF
+
+    from coords_spark.fixtures import gen_relations
+    from coords_spark.operators import tiling as T
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import ingest_stream as S
+
+    rels, ring_ways = gen_relations(80)
+    src = tmp_path / "relpbf"
+    out = str(tmp_path / "reltable")
+    ckpt = str(tmp_path / "relckpt")
+    resolved = (
+        spark.createDataFrame(ring_ways)
+        .select(FF.col("id").alias("way_id"), "pts")
+        .localCheckpoint()
+    )
+    bl = T.DEFAULT_BASE_LEVEL
+    cpbf.write_cpbf(rels, str(src), cpbf.KIND_RELATIONS, rows_per_block=20, blocks_per_file=2)
+    rels_batch = cpbf.read_cpbf(spark, str(src), cpbf.KIND_RELATIONS)
+    g = S.chunk_relation_batch(rels_batch, resolved, split_set=[], base_level=bl)
+    split = []  # all-root split: chunk = ancestor at base; fine for parity
+    q = S.stream_ingest_relations(
+        cpbf.read_cpbf_stream(spark, str(src), cpbf.KIND_RELATIONS), resolved, out, split, bl, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    t = IcepickTable(out)
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(
+            "relation_id", "chunk_id", "tags_json", "members_json"
+        ).collect()
+    )
+    assert rows(spark.read.parquet(*t.data_paths())) == rows(g)
+    assert spark.read.parquet(*t.data_paths()).count() > 0
