@@ -159,12 +159,16 @@ def render_read(
     t = IcepickTable(table_path)
     paths = t.data_paths_ranges(ranges)
     if not paths:
-        # schema from the manifest's first file (never scan data)
+        # viewport miss: schema comes from MANIFEST lineage — the plan is a
+        # LocalTableScan, zero parquet files opened (r4 verdict ask #8)
+        schema = t.spark_schema()
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        # pre-schema-stamp table: fall back to the first file's footer
         all_paths = t.data_paths()
         if not all_paths:
             raise FileNotFoundError(f"empty table at {table_path}")
-        empty = spark.read.parquet(all_paths[0]).limit(0)
-        return empty
+        return spark.read.parquet(all_paths[0]).limit(0)
     df = spark.read.parquet(*paths)
     if 0 < len(ranges) <= max_chunk_filter_ranges:
         cond = None

@@ -28,6 +28,7 @@ pruning — SURVEY.md §4).
 
 from __future__ import annotations
 
+import base64
 import glob
 import hashlib
 import json
@@ -125,6 +126,12 @@ class IcepickTable:
         gstr = None if group is None else str(group)
         for i, src in enumerate(staged):
             md = pq.read_metadata(src)
+            if i == 0:
+                # manifest-stored schema (VERDICT r4 ask #8): captured at
+                # commit so miss-path reads never open a data file
+                self._pending_schema = base64.b64encode(
+                    md.schema.to_arrow_schema().serialize().to_pybytes()
+                ).decode()
             cmin = cmax = None
             if chunk_col is not None:
                 idx = {md.schema.column(j).name: j for j in range(len(md.schema))}
@@ -163,6 +170,34 @@ class IcepickTable:
             self._fsync_dir(self.data_dir)
         return entries
 
+    def _stamp_schema(self, man: dict) -> None:
+        """Carry the Arrow schema captured by _finalize_staged into the
+        manifest being written (no-op for empty commits — the previous
+        stamp, if any, is inherited through the manifest copy)."""
+        pending = getattr(self, "_pending_schema", None)
+        if pending is not None:
+            man["schema_ipc_b64"] = pending
+
+    def arrow_schema(self, version: int | None = None):
+        """The table's Arrow schema from manifest lineage alone — never
+        opens a data file (VERDICT r4 ask #8: miss-path reads plan zero
+        file scans). None for tables written before schema stamping."""
+        import pyarrow as pa
+
+        b64 = self.manifest_at(version).get("schema_ipc_b64")
+        if b64 is None:
+            return None
+        return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(b64)))
+
+    def spark_schema(self, version: int | None = None):
+        """Manifest schema as a Spark StructType (None if unstamped)."""
+        s = self.arrow_schema(version)
+        if s is None:
+            return None
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(s)
+
     def commit_staged(
         self,
         staging_dir: str,
@@ -177,6 +212,7 @@ class IcepickTable:
         man = self.current_manifest()
         man["version"] += 1
         man["files"] = man["files"] + entries
+        self._stamp_schema(man)
         if gstr is not None and gstr not in man["committed_groups"]:
             man["committed_groups"] = man["committed_groups"] + [gstr]
         self._write_manifest(man)
@@ -207,6 +243,7 @@ class IcepickTable:
         man = self.current_manifest()
         man["version"] += 1
         man["files"] = [f for f in man["files"] if f["path"] not in drop] + entries
+        self._stamp_schema(man)
         if gstr is not None and gstr not in man["committed_groups"]:
             man["committed_groups"] = man["committed_groups"] + [gstr]
         self._write_manifest(man)

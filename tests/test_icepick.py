@@ -98,3 +98,68 @@ def test_time_travel_snapshots(tmp_path):
 
     with _pt.raises(FileNotFoundError):
         t.manifest_at(99)
+
+
+def test_manifest_stored_schema(tmp_path):
+    """Schema is stamped into the manifest at commit and readable without
+    touching any data file (VERDICT r4 ask #8)."""
+    t = IcepickTable.create(str(tmp_path / "sch"))
+    assert t.arrow_schema() is None  # empty table, never stamped
+    t.commit_staged(_stage(tmp_path, "s1", [1, 2]), group="g1")
+    s = t.arrow_schema()
+    assert s is not None and s.names == ["chunk_id", "v"]
+    # delete every data file: schema must STILL be readable (manifest-only)
+    for e in t.files():
+        os.remove(os.path.join(t.path, e["path"]))
+    s2 = t.arrow_schema()
+    assert s2.equals(s)
+    # version pinning: the schema travels with each stamped manifest
+    assert t.arrow_schema(version=1).equals(s)
+
+
+def test_empty_viewport_render_read_plans_zero_file_scans(spark, tmp_path):
+    """A viewport overlapping no chunk range must return an empty DF with
+    the table schema whose physical plan contains NO parquet scan (schema
+    comes from the manifest, VERDICT r4 ask #8)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coords_spark.kernels import mercator, zcurve
+    from coords_spark.operators import ingest
+
+    # a table holding ONE deep chunk under London (level 12): a south-
+    # pacific viewport's cover ranges (its own ancestors + pacific deep
+    # cells) cannot overlap it -> guaranteed manifest miss
+    ux, uy = mercator.latlon_i32_to_unit(
+        np.asarray([int(51.5e7)]), np.asarray([int(-0.1e7)])
+    )
+    gx, gy = zcurve.unit_to_grid(ux, uy)
+    london = int(zcurve.cell_from_point(gx, gy, 12)[0])
+    d = tmp_path / "stage"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(["a", "b"], pa.string()),
+                "lat": pa.array([int(51.5e7)] * 2, pa.int32()),
+                "lon": pa.array([int(-0.1e7)] * 2, pa.int32()),
+                "chunk_id": pa.array([london] * 2, pa.int64()),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    path = str(tmp_path / "ptable")
+    t = IcepickTable.create(path)
+    t.commit_staged(str(d), group="g1")
+    full = ingest.read_chunk_table(spark, path)
+    bbox = (int(-48.0e7), int(-123.0e7), int(-47.9999e7), int(-122.9999e7))
+    # precondition: the manifest really prunes everything
+    g = ingest.bbox_grid(*bbox)
+    ranges = zcurve.bbox_cover_ranges(*g, 12, max_level=12)
+    assert t.data_paths_ranges(ranges) == []
+    miss = ingest.render_read(spark, path, bbox, zoom=12, base_level=12)
+    assert miss.count() == 0
+    assert miss.schema == full.schema
+    plan = miss._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
