@@ -1956,6 +1956,54 @@ def geo_render_bbox(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("incremental_update_apply", None)
+def incremental_update_apply(spark, sf):
+    """J3's intent end-to-end (VERDICT r4 ask #6): build a way-geometry
+    chunk table, move ONE node (the first ref of the smallest way id) to
+    Sydney, apply the diff incrementally (reverse-index join -> re-resolve
+    -> re-chunk -> one commit_replace), and return the post-diff per-chunk
+    rollup. The golden twin replays the whole thing scalar-side with the
+    minicoords oracle, so a wrong chunk move, a leftover stale row, or an
+    over-eager rewrite all break the hash."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve, tiling, update
+    from coords_spark.sources.icepick import IcepickTable
+
+    nodes = spark.createDataFrame(gen_nodes(2000))
+    ways = spark.createDataFrame(gen_ways(300, 2000))
+    g = geometry.with_geometry_cell(
+        geometry.with_envelope(resolve.resolve_ways(ways, nodes))
+    ).withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
+    split = tiling.compute_split_set(g, max_bytes=8 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    tmp = tempfile.mkdtemp(prefix="inc_upd_")
+    try:
+        path = f"{tmp}/t"
+        update.build_way_chunk_table(spark, nodes, ways, path, split)
+        wid = ways.agg(F.min("id")).collect()[0][0]
+        nid = ways.filter(F.col("id") == wid).select(F.element_at("refs", 1)).collect()[0][0]
+        diff = spark.createDataFrame(
+            [(int(nid), -338000000, 1512000000)], "id long, lat int, lon int"
+        )
+        update.apply_node_diff(spark, path, nodes, ways, diff, split)
+        t = IcepickTable(path)
+        return (
+            spark.read.parquet(*t.data_paths())
+            .groupBy("chunk_id")
+            .agg(
+                F.count("*").alias("n_ways"),
+                F.sum(F.size("pts")).cast("long").alias("n_vertices"),
+                F.sum("way_id").alias("way_id_sum"),
+            )
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("icepick_time_travel", None)
 def icepick_time_travel(spark, sf):
     """Snapshot isolation (S2/S3): two deterministic commits, then read the
@@ -2418,8 +2466,10 @@ _WINDOW_FIRST = [
     "map_funcs_events",
     "dedup_cluster_stats",
     "pbf_ingest_stats",
-    # no driver row in r3 (had rows in r1/r2 under the old ordering)
-    "distinct_parts_per_supplier",
+    # NEW r5 operator (incremental node-diff apply) takes
+    # distinct_parts_per_supplier's slot (r4-green; agg family keeps
+    # having/bucket/grouping_sets in-window)
+    "incremental_update_apply",
     "grouping_sets_nation_region",
     "having_big_customers",
     "bucket_totalprice",

@@ -247,6 +247,45 @@ def g_geo_osm_way_tiling():
     return ["chunk_id", "n_ways", "n_vertices"], rows, {}
 
 
+def g_incremental_update_apply():
+    """Independent scalar twin of the incremental node-diff apply: full
+    resolve -> envelope-cell -> split (from the PRE-diff build) -> patch
+    one node -> re-resolve -> chunk EVERY way under the same split ->
+    per-chunk rollup. The engine must reach the same end state by touching
+    only the affected ways' files."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+
+    nt = gen_nodes(2000).to_pylist()
+    wt = gen_ways(300, 2000).to_pylist()
+    nodes = {n["id"]: (n["lat"], n["lon"]) for n in nt}
+    wlist = [(w["id"], list(w["refs"])) for w in wt]
+    resolved = mc.resolve_ways(nodes, wlist)
+    latlon_of = lambda pts: [(la, lo) for _n, la, lo in pts]  # noqa: E731
+    splits = mc.split_set(
+        [
+            (mc.way_envelope_cell(latlon_of(p)), len(p) * 8 + 64)
+            for p in resolved.values()
+        ],
+        8 * 1024,
+        BASE_LEVEL,
+    )
+    wid = min(resolved)
+    nid = dict(wlist)[wid][0]
+    nodes2 = dict(nodes)
+    nodes2[nid] = (-338000000, 1512000000)
+    resolved2 = mc.resolve_ways(nodes2, wlist)
+    agg: dict[int, list[int]] = {}
+    for w, pts in sorted(resolved2.items()):
+        ll = latlon_of(pts)
+        ch = mc.assign_chunk(mc.way_envelope_cell(ll), splits, BASE_LEVEL)
+        a = agg.setdefault(ch, [0, 0, 0])
+        a[0] += 1
+        a[1] += len(ll)
+        a[2] += w
+    rows = [(ch, a[0], a[1], a[2]) for ch, a in sorted(agg.items())]
+    return ["chunk_id", "n_ways", "n_vertices", "way_id_sum"], rows, {}
+
+
 def g_geo_multipolygon_assembly():
     from coords_spark.fixtures import gen_relations
 
@@ -852,6 +891,7 @@ GENERATORS = {
     "geo_knn_ring": g_geo_knn_ring,
     "geo_raster_vector_align": g_geo_raster_vector_align,
     "geo_osm_way_tiling": g_geo_osm_way_tiling,
+    "incremental_update_apply": g_incremental_update_apply,
     "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
     "geo_lod_tables": g_geo_lod_tables,
     "payload_decode_verify": g_payload_decode_verify,
