@@ -595,6 +595,58 @@ def _blob_task_decoder(kind: int):
     return decode
 
 
+def iter_blob_payloads(content: bytes) -> Iterator[tuple[str, bytes]]:
+    """(blob_type, blob_payload) pairs from in-memory .osm.pbf bytes (the
+    streaming path decodes whole dropped files per task)."""
+    pos = 0
+    total = len(content)
+    while pos < total:
+        if pos + 4 > total:
+            raise ValueError("truncated pbf: short header length")
+        (hlen,) = struct.unpack_from(">I", content, pos)
+        hdr_end = pos + 4 + hlen
+        if hdr_end > total:
+            raise ValueError("truncated pbf: short BlobHeader")
+        fd = P.fields_dict(content, pos + 4, hdr_end)
+        s, e = fd[1][0]
+        btype = content[s:e].decode()
+        dsize = fd[3][0]
+        if hdr_end + dsize > total:
+            raise ValueError("truncated pbf: blob overruns file")
+        yield btype, content[hdr_end : hdr_end + dsize]
+        pos = hdr_end + dsize
+
+
+def _content_decoder_for(kind: int):
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            contents = rb.column(rb.schema.get_field_index("content"))
+            for i in range(len(contents)):
+                for btype, payload in iter_blob_payloads(contents[i].as_py()):
+                    if btype != "OSMData":
+                        continue
+                    yield from decode_primitive_block(decode_blob(payload), kind)
+
+    return decode
+
+
+def read_osmpbf_stream(spark, path: str, kind: int):
+    """Structured-Streaming variant: .osm.pbf files appearing under `path`
+    decode incrementally (binaryFile file source tracks seen files in the
+    checkpoint). Parallelism here is per-FILE (streaming drops are extract-
+    sized); the batch reader's blob-level fan-out is the planet-scale
+    path. Pair with streaming/ingest_stream.py for exactly-once ingest."""
+    df = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.pbf")
+        .load(path)
+        .select("content")
+    )
+    return df.mapInArrow(_content_decoder_for(kind), _schema_for(kind))
+
+
 def read_osmpbf(spark, path: str, kind: int, parallelism: int | None = None):
     """Entity DataFrame from real .osm.pbf file(s). Planning: a metadata-
     only blob-index scan per file (driver side — O(#blobs) tiny reads,

@@ -195,3 +195,27 @@ def test_raw_uncompressed_blob_supported(tmp_path):
         data = osmpbf.decode_blob(f.read(idx[0][2]))
     got = list(osmpbf.decode_primitive_block(data, osmpbf.KIND_NODES))[0]
     assert got.num_rows == 10
+
+
+def test_streaming_osmpbf_matches_batch(spark, pbf_path, tmp_path):
+    """read_osmpbf_stream over a dropped .osm.pbf file must yield exactly
+    the batch reader's rows (memory-sink drain)."""
+    import shutil
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    shutil.copy(pbf_path, d / "mini.osm.pbf")
+    stream = osmpbf.read_osmpbf_stream(spark, str(d), osmpbf.KIND_WAYS)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pbf_ways_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ex = ["id", "version", "to_json(refs) as r", "to_json(tags) as t"]
+    cols = ["id", "version", "r", "t"]
+    got = _rows(spark.table("pbf_ways_stream"), ex, cols)
+    want = _rows(osmpbf.read_osmpbf(spark, pbf_path, osmpbf.KIND_WAYS), ex, cols)
+    assert got == want and len(got) == 600
