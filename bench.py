@@ -119,6 +119,26 @@ def ensure_images(n_rows: int, cache_root: str, files: int = 32) -> str:
     return path
 
 
+def ensure_pbf_nodes(n_rows: int, cache_root: str) -> str:
+    """Deterministic dense-node .osm.pbf for the S1 reader-throughput
+    bench (one file, many blobs — exercises blob-level parallelism inside
+    a single file). Cached."""
+    from coords_spark.fixtures import gen_nodes
+    from coords_spark.sources import osmpbf
+
+    path = os.path.join(cache_root, f"pbf_nodes_{n_rows}")
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    osmpbf.write_osmpbf(
+        os.path.join(path, "nodes.osm.pbf"), nodes=gen_nodes(n_rows), rows_per_block=8000
+    )
+    open(marker, "w").close()
+    return path
+
+
 def run_geo_pipeline(spark, points_path: str, out_root: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -249,6 +269,20 @@ def main() -> None:
     # n_bad lands in the JSON (must be 0); never abort the bench on it
     payload_failures = int(n_bad)
 
+    # S1 reader throughput: n_rows dense nodes through the real .osm.pbf
+    # blob-parallel reader (ONE file, n_rows/8000 blobs fanned across tasks)
+    from coords_spark.sources import osmpbf
+
+    pbf_dir = ensure_pbf_nodes(n_rows, cache_root)
+    t0 = time.time()
+    pbf_row = (
+        osmpbf.read_osmpbf(spark, pbf_dir, osmpbf.KIND_NODES)
+        .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        .collect()[0]
+    )
+    queries["pbf_node_scan"] = time.time() - t0
+    assert int(pbf_row["n"]) == n_rows
+
     errors: dict[str, str] = {}
     for name in SURFACE_QUERIES:
         fn = QUERIES[name]
@@ -304,6 +338,7 @@ def main() -> None:
         "assign_rows_per_sec": round(n_rows / queries["geo_chunk_assign"], 1),
         "payload_rows": n_imgs,
         "decode_rows_per_sec": round(n_imgs / queries["payload_decode_check"], 1),
+        "pbf_node_rows_per_sec": round(n_rows / queries["pbf_node_scan"], 1),
         "payload_failures": payload_failures,
         "errors": errors,
         "vs_prev": vs_prev,
