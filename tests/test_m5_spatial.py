@@ -160,3 +160,22 @@ def test_lod_for_zoom_selection():
 
     with pytest.raises(ValueError):
         lod_for_zoom(8, [])
+
+
+def test_knn_join_max_queries_kwarg(spark):
+    """ADVICE r4: the driver-memory cap is a tunable kwarg, not a magic
+    number — tiny caps raise with routing guidance, opting up admits the
+    same query list."""
+    import pytest as _pt
+
+    from coords_spark.fixtures import gen_points
+    from coords_spark.operators import knn
+
+    pts = spark.createDataFrame(gen_points(200).to_pandas()).select(
+        "image_id", "lat", "lon"
+    )
+    queries = [("q0", int(51.5e7), int(-0.1e7)), ("q1", int(48.8e7), int(2.3e7))]
+    with _pt.raises(ValueError, match="max_queries=1"):
+        knn.knn_join(pts, queries, k=3, max_queries=1)
+    out = knn.knn_join(pts, queries, k=3, max_queries=2)
+    assert out.count() == 6

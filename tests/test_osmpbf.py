@@ -219,3 +219,41 @@ def test_streaming_osmpbf_matches_batch(spark, pbf_path, tmp_path):
     got = _rows(spark.table("pbf_ways_stream"), ex, cols)
     want = _rows(osmpbf.read_osmpbf(spark, pbf_path, osmpbf.KIND_WAYS), ex, cols)
     assert got == want and len(got) == 600
+
+
+def test_streaming_planet_ingest_from_real_pbf(spark, tmp_path):
+    """The full loop the reference runs: a REAL .osm.pbf drop streamed
+    into the exactly-once icepick ingest (read_osmpbf_stream ->
+    stream_ingest_nodes), chunk assignments equal to the batch path."""
+    from pyspark.sql import functions as F
+
+    from coords_spark.operators import knn as K
+    from coords_spark.operators import tiling as T
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import ingest_stream as S
+
+    nodes = gen_nodes(1000)
+    src = tmp_path / "drop"
+    src.mkdir()
+    osmpbf.write_osmpbf(str(src / "a.osm.pbf"), nodes=nodes, rows_per_block=128)
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    batch = spark.createDataFrame(nodes.to_pandas()[["id", "lat", "lon"]])
+    pts = batch.withColumn("cell", K.cell_at_level_col(8)).withColumn(
+        "nbytes", F.lit(4096).cast("long")
+    )
+    split = T.compute_split_set(pts, max_bytes=256 * 1024, base_level=8)
+    q = S.stream_ingest_nodes(
+        osmpbf.read_osmpbf_stream(spark, str(src), osmpbf.KIND_NODES), out, split, 8, ckpt
+    )
+    q.processAllAvailable(); q.stop()
+    t = IcepickTable(out)
+    got = {
+        r["id"]: r["chunk_id"]
+        for r in spark.read.parquet(*t.data_paths()).select("id", "chunk_id").collect()
+    }
+    want = {
+        r["id"]: r["chunk_id"]
+        for r in T.with_chunk(pts, split, base_level=8).select("id", "chunk_id").collect()
+    }
+    assert got == want and len(got) == 1000
