@@ -22,11 +22,47 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coords_spark.operators import geometry, resolve, tiling
 from coords_spark.sources.icepick import IcepickTable
+
+_SPLIT_SIDECAR = "_split_set.parquet"
+
+
+def save_split_set(table_path: str, split, base_level: int) -> None:
+    """Persist the table's chunking contract (split set + base level) as a
+    parquet sidecar — the split set scales with chunk count, so it belongs
+    in a columnar file next to the data, not inside the JSON manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"node": pa.array(np.asarray(split, dtype=np.int64), pa.int64())},
+            metadata={b"base_level": str(base_level).encode()},
+        ),
+        os.path.join(table_path, _SPLIT_SIDECAR),
+    )
+
+
+def load_split_set(table_path: str) -> tuple[np.ndarray, int]:
+    """(split set, base_level) from the sidecar written at build time."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(table_path, _SPLIT_SIDECAR)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no split-set sidecar at {p} (table built before r5, or not by "
+            "build_way_chunk_table) — pass split= explicitly"
+        )
+    t = pq.read_table(p)
+    return (
+        np.sort(t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)),
+        int(t.schema.metadata[b"base_level"].decode()),
+    )
 
 
 def _way_rows(ways: DataFrame, nodes: DataFrame, split, base_level: int) -> DataFrame:
@@ -48,9 +84,13 @@ def build_way_chunk_table(
     split,
     base_level: int = tiling.DEFAULT_BASE_LEVEL,
 ) -> IcepickTable:
-    """Full build of a way-geometry chunk table (the incremental target)."""
+    """Full build of a way-geometry chunk table (the incremental target).
+    The split set + base level persist as a sidecar so later diffs need no
+    out-of-band contract (apply_*_diff default to it)."""
     rows = _way_rows(ways, nodes, split, base_level)
-    return tiling.materialize_chunk_table(rows, table_path, key_col="way_id")
+    t = tiling.materialize_chunk_table(rows, table_path, key_col="way_id")
+    save_split_set(table_path, split, base_level)
+    return t
 
 
 def affected_way_ids(
@@ -90,37 +130,17 @@ def patched_nodes(nodes: DataFrame, nodes_diff: DataFrame) -> DataFrame:
     )
 
 
-def apply_node_diff(
-    spark,
-    table_path: str,
-    nodes: DataFrame,
-    ways: DataFrame,
-    nodes_diff: DataFrame,
-    split,
-    base_level: int = tiling.DEFAULT_BASE_LEVEL,
-    rindex: DataFrame | None = None,
-    group: str = "node_diff",
+def _apply_way_rewrite(
+    spark, table_path: str, aff: DataFrame, new_rows: DataFrame, group: str
 ) -> dict:
-    """Apply a node diff (moved/updated nodes) to an existing way-chunk
-    icepick table: re-resolve and re-chunk ONLY the affected ways, rewrite
-    ONLY the data files whose chunk range holds an affected way, and land
-    everything as ONE atomic commit_replace (old snapshots keep reading
-    the pre-diff state — time travel is preserved).
-
-    The split set is the table's chunking contract and must be the one the
-    table was built with (chunk ids are only comparable under one split).
-
-    Returns stats: affected way/chunk/file counts and the commit entries.
-    """
+    """Shared rewrite machinery: drop every `aff` way from the files whose
+    chunk range holds one (row-exact left_anti rewrite), append `new_rows`,
+    land both as ONE atomic commit_replace (old snapshots keep reading the
+    pre-diff state — time travel is preserved)."""
     table = IcepickTable(table_path)
-    aff = affected_way_ids(ways, nodes_diff, rindex=rindex).localCheckpoint()
     n_aff = aff.count()
     if n_aff == 0:
         return {"affected_ways": 0, "files_replaced": 0, "files_added": 0}
-
-    # new rows for affected ways, under the patched node set
-    ways_aff = ways.join(aff.withColumnRenamed("way_id", "id"), "id", "semi")
-    new_rows = _way_rows(ways_aff, patched_nodes(nodes, nodes_diff), split, base_level)
 
     # old chunk ids holding affected ways -> file replace set (driver-side
     # list bounded by the diff's chunk fan-out, not by table size)
@@ -141,7 +161,7 @@ def apply_node_diff(
     ]
     replace_paths = [os.path.join(table_path, e["path"]) for e in replace]
 
-    staging = tempfile.mkdtemp(prefix="node_diff_", dir=table_path)
+    staging = tempfile.mkdtemp(prefix="way_rewrite_", dir=table_path)
     # rewritten survivors: replaced files minus affected ways (row-exact
     # on way_id — a file's chunk range may span untouched chunks too)
     if replace_paths:
@@ -163,9 +183,7 @@ def apply_node_diff(
         .parquet(os.path.join(staging, "updated"))
     )
     # Spark leaves _SUCCESS markers; _finalize_staged globs *.parquet only
-    entries = table.commit_replace(
-        staging, [e["path"] for e in replace], group=group
-    )
+    entries = table.commit_replace(staging, [e["path"] for e in replace], group=group)
     return {
         "affected_ways": n_aff,
         "old_chunks": sorted(old_aff_chunks),
@@ -174,3 +192,68 @@ def apply_node_diff(
         "files_untouched": len(all_paths) - len(replace),
         "entries": entries,
     }
+
+
+def apply_node_diff(
+    spark,
+    table_path: str,
+    nodes: DataFrame,
+    ways: DataFrame,
+    nodes_diff: DataFrame,
+    split=None,
+    base_level: int | None = None,
+    rindex: DataFrame | None = None,
+    group: str = "node_diff",
+) -> dict:
+    """Apply a node diff (moved/updated nodes) to an existing way-chunk
+    icepick table: re-resolve and re-chunk ONLY the affected ways, rewrite
+    ONLY the data files whose chunk range holds an affected way, one
+    atomic commit.
+
+    The split set is the table's chunking contract (chunk ids are only
+    comparable under one split); by default it loads from the sidecar the
+    build wrote — pass split=/base_level= only for pre-sidecar tables.
+
+    Returns stats: affected way/chunk/file counts and the commit entries.
+    """
+    if split is None:
+        split, sidecar_bl = load_split_set(table_path)
+        base_level = sidecar_bl if base_level is None else base_level
+    elif base_level is None:
+        base_level = tiling.DEFAULT_BASE_LEVEL
+    aff = affected_way_ids(ways, nodes_diff, rindex=rindex).localCheckpoint()
+    ways_aff = ways.join(aff.withColumnRenamed("way_id", "id"), "id", "semi")
+    new_rows = _way_rows(ways_aff, patched_nodes(nodes, nodes_diff), split, base_level)
+    return _apply_way_rewrite(spark, table_path, aff, new_rows, group)
+
+
+def apply_way_diff(
+    spark,
+    table_path: str,
+    nodes: DataFrame,
+    ways_diff: DataFrame,
+    deleted_way_ids: DataFrame | None = None,
+    split=None,
+    base_level: int | None = None,
+    group: str = "way_diff",
+) -> dict:
+    """Apply a WAY diff — new, re-routed (refs changed), re-tagged, or
+    deleted ways — to an existing way-chunk table. The affected set is the
+    diff itself: changed ways' old rows are dropped from exactly the files
+    holding them and their re-resolved rows appended; brand-new ways have
+    no old rows and simply append; `deleted_way_ids` rows are dropped
+    without replacement. One atomic commit, same bounded-rewrite guarantee
+    as apply_node_diff."""
+    if split is None:
+        split, sidecar_bl = load_split_set(table_path)
+        base_level = sidecar_bl if base_level is None else base_level
+    elif base_level is None:
+        base_level = tiling.DEFAULT_BASE_LEVEL
+    aff = ways_diff.select(F.col("id").alias("way_id")).distinct()
+    if deleted_way_ids is not None:
+        aff = aff.unionAll(
+            deleted_way_ids.select(F.col(deleted_way_ids.columns[0]).alias("way_id"))
+        ).distinct()
+    aff = aff.localCheckpoint()
+    new_rows = _way_rows(ways_diff, nodes, split, base_level)
+    return _apply_way_rewrite(spark, table_path, aff, new_rows, group)

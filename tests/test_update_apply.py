@@ -124,3 +124,69 @@ def test_affected_way_ids_via_reverse_index(spark, built):
     a = sorted(r["way_id"] for r in update.affected_way_ids(ways, diff).collect())
     b = sorted(r["way_id"] for r in update.affected_way_ids(ways, diff, rindex=rindex).collect())
     assert a == b and len(a) >= 1
+
+
+def test_split_sidecar_roundtrip_and_default(spark, built):
+    """The build persists the split set; apply_node_diff with no split=
+    must behave identically to passing it explicitly (no-op diff check)."""
+    import numpy as np
+
+    nodes, ways, split, path = built
+    got_split, bl = update.load_split_set(path)
+    assert (got_split == np.sort(np.asarray(split, dtype=np.int64))).all()
+    assert bl == tiling.DEFAULT_BASE_LEVEL
+    diff = spark.createDataFrame([], "id long, lat int, lon int")
+    stats = update.apply_node_diff(spark, path, nodes, ways, diff)  # no split=
+    assert stats["affected_ways"] == 0
+
+
+def test_apply_way_diff_modify_add_delete(spark, tmp_path):
+    """One way re-routed, one brand-new, one deleted — result equals a
+    from-scratch rebuild of the post-diff way set, untouched files stay
+    byte-identical."""
+    from pyspark.sql import functions as FF
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve
+
+    nodes = spark.createDataFrame(gen_nodes(2000)).localCheckpoint()
+    ways = spark.createDataFrame(gen_ways(250, 2000)).localCheckpoint()
+    g = geometry.with_geometry_cell(
+        geometry.with_envelope(resolve.resolve_ways(ways, nodes))
+    ).withColumn("nbytes", (FF.size("pts") * 8 + 64).cast("long"))
+    split = tiling.compute_split_set(g, max_bytes=8 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL)
+    path = str(tmp_path / "wd")
+    update.build_way_chunk_table(spark, nodes, ways, path, split)
+    t = IcepickTable(path)
+    before = {e["path"]: e["checksum"] for e in t.files()}
+
+    ids = sorted(r["id"] for r in ways.select("id").collect())
+    w_mod, w_del = ids[0], ids[1]
+    w_new = max(ids) + 1000
+    # re-route w_mod to its first 3 refs reversed; add w_new over real nodes
+    refs_mod = ways.filter(FF.col("id") == w_mod).collect()[0]["refs"][:3][::-1]
+    some_nodes = [r["id"] for r in nodes.select("id").limit(4).collect()]
+    diff = spark.createDataFrame(
+        [(int(w_mod), 2, refs_mod, {"k": "re-routed"}),
+         (int(w_new), 1, some_nodes, {"k": "new"})],
+        "id long, version int, refs array<long>, tags map<string,string>",
+    )
+    deleted = spark.createDataFrame([(int(w_del),)], "way_id long")
+    stats = update.apply_way_diff(spark, path, nodes, diff, deleted_way_ids=deleted)
+    assert stats["affected_ways"] == 3
+
+    # expected end state: (ways minus mod/del) + diff rows, rebuilt fresh
+    survivors = ways.filter(~FF.col("id").isin(int(w_mod), int(w_del)))
+    want_ways = survivors.unionByName(diff)
+    want = update._way_rows(want_ways, nodes, split, tiling.DEFAULT_BASE_LEVEL)
+    got = spark.read.parquet(*t.data_paths())
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.selectExpr("way_id", "chunk_id", "to_json(pts) as p").collect()
+    )
+    assert rows(got) == rows(want)
+    assert w_del not in {r["way_id"] for r in got.select("way_id").collect()}
+    # untouched files byte-identical
+    after = {e["path"]: e["checksum"] for e in t.files()}
+    for p in set(before) & set(after):
+        assert after[p] == before[p]
+    assert t.verify_checksums()
