@@ -121,3 +121,73 @@ def test_segmented_delta_roundtrip_property(segments):
         deltas[starts[nz]] = flat[starts[nz]]
     out = V.segmented_delta_decode(deltas, starts, lens)
     assert out.tolist() == flat.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),  # field number
+            st.one_of(
+                st.integers(min_value=0, max_value=2**64 - 1),  # varint
+                st.binary(max_size=40),  # length-delimited
+            ),
+        ),
+        max_size=20,
+    )
+)
+def test_proto_wire_walk_roundtrip_property(fields):
+    """Arbitrary field sequences encode -> walk back in order with values
+    and spans intact (kernels/proto.py, the .osm.pbf wire layer)."""
+    from coords_spark.kernels import proto as P
+
+    buf = b"".join(
+        P.enc_field_varint(f, v) if isinstance(v, int) else P.enc_field_len(f, v)
+        for f, v in fields
+    )
+    walked = list(P.walk_fields(buf, 0, len(buf)))
+    assert len(walked) == len(fields)
+    for (f, v), (fno, wt, val) in zip(fields, walked):
+        assert fno == f
+        if isinstance(v, int):
+            assert wt == P.WT_VARINT and val == v
+        else:
+            s, e = val
+            assert wt == P.WT_LEN and buf[s:e] == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**50), max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_proto_bulk_packed_span_property(segments):
+    """concat_spans + count_varints_per_span reconstruct per-message packed
+    payloads exactly, including empty fields (span (0,0))."""
+    from coords_spark.kernels import proto as P
+    from coords_spark.kernels import varint as V
+
+    payloads = [
+        P.enc_packed_uvarints(5, np.asarray(seg, dtype=np.uint64)) for seg in segments
+    ]
+    buf = b"".join(payloads)
+    spans, pos = [], 0
+    for p in payloads:
+        if not p:
+            spans.append((0, 0))
+            continue
+        fd = P.fields_dict(buf, pos, pos + len(p))
+        spans.append(fd[5][0])
+        pos += len(p)
+    starts = np.asarray([a for a, _ in spans], dtype=np.int64)
+    ends = np.asarray([b for _, b in spans], dtype=np.int64)
+    tc = np.cumsum(np.frombuffer(buf, dtype=np.uint8) < 0x80) if buf else np.zeros(0, dtype=np.int64)
+    counts = P.count_varints_per_span(tc, starts, ends) if buf else np.zeros(len(spans))
+    assert (counts == np.asarray([len(s) for s in segments])).all()
+    if buf:
+        vals = V.decode_uvarints(P.concat_spans(buf, starts, ends))
+        flat = [v for seg in segments for v in seg]
+        assert vals.tolist() == flat
