@@ -1956,6 +1956,58 @@ def geo_render_bbox(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("pbf_create_storage_stats", None)
+def pbf_create_storage_stats(spark, sf):
+    """E1 end-to-end from the REAL front door (SURVEY §3 E1,
+    coordsCreateStorage <dest> <planet.pbf>): write a spec-valid mini
+    .osm.pbf, read nodes+ways back through the blob-parallel protobuf
+    reader, resolve (J1) -> envelope (T3) -> deepest cell (T4) -> chunk
+    (T5) -> materialize an icepick table (S2/S4) -> read it back (S3) and
+    roll up per chunk. The golden twin is the SAME scalar pipeline from
+    the fixture tables (g_geo_osm_way_tiling's rows) — so the wire codec,
+    the resolve join, the chunk rules AND the store roundtrip all gate one
+    hash."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve, tiling
+    from coords_spark.sources import osmpbf
+    from coords_spark.sources.icepick import IcepickTable
+
+    tmp = tempfile.mkdtemp(prefix="pbf_e1_")
+    try:
+        p = f"{tmp}/mini.osm.pbf"
+        osmpbf.write_osmpbf(
+            p, nodes=gen_nodes(4000), ways=gen_ways(600, 4000), rows_per_block=512
+        )
+        nodes = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_NODES)
+        ways = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_WAYS)
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(
+            g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        path = f"{tmp}/storage"
+        tiling.materialize_chunk_table(
+            chunked.select("way_id", "cell", "chunk_id", "pts"), path, key_col="way_id"
+        )
+        t = IcepickTable(path)
+        assert t.verify_checksums()
+        return (
+            spark.read.parquet(*t.data_paths())
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("n_ways"), F.sum(F.size("pts")).alias("n_vertices"))
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the tmp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("incremental_update_apply", None)
 def incremental_update_apply(spark, sf):
     """J3's intent end-to-end (VERDICT r4 ask #6): build a way-geometry

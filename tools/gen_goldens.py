@@ -892,6 +892,10 @@ GENERATORS = {
     "geo_raster_vector_align": g_geo_raster_vector_align,
     "geo_osm_way_tiling": g_geo_osm_way_tiling,
     "incremental_update_apply": g_incremental_update_apply,
+    # E1-from-real-pbf lands on the SAME scalar rows as the way-tiling twin
+    # (identical fixture + chunk rules; the pbf codec and icepick roundtrip
+    # must be transparent)
+    "pbf_create_storage_stats": g_geo_osm_way_tiling,
     "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
     "geo_lod_tables": g_geo_lod_tables,
     "payload_decode_verify": g_payload_decode_verify,
