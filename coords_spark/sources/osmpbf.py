@@ -647,20 +647,49 @@ def read_osmpbf_stream(spark, path: str, kind: int):
     return df.mapInArrow(_content_decoder_for(kind), _schema_for(kind))
 
 
-def read_osmpbf(spark, path: str, kind: int, parallelism: int | None = None):
+def read_osmpbf(
+    spark,
+    path: str,
+    kind: int,
+    parallelism: int | None = None,
+    index_scan_spark_threshold: int = 64,
+):
     """Entity DataFrame from real .osm.pbf file(s). Planning: a metadata-
-    only blob-index scan per file (driver side — O(#blobs) tiny reads,
-    like any source's split planning); execution: (path, offset, size)
-    rows round-robined across `parallelism` tasks, each task seeking and
-    decoding only its own blobs. One 80 GB planet file therefore becomes
-    thousands of independent work units instead of binaryFile's single
-    task."""
-    index = [
-        (p, off, size)
-        for p in _list_pbf_files(path)
-        for btype, off, size in scan_blob_index(p)
-        if btype == "OSMData"
-    ]
+    only blob-index scan per file (O(#blobs) tiny reads, like any source's
+    split planning); execution: (path, offset, size) rows round-robined
+    across `parallelism` tasks, each task seeking and decoding only its own
+    blobs. One 80 GB planet file therefore becomes thousands of independent
+    work units instead of binaryFile's single task.
+
+    The index scan itself runs driver-side for a handful of files, but a
+    directory of thousands of extracts would serialize thousands of
+    metadata passes through the driver — above `index_scan_spark_threshold`
+    files the scan distributes as a Spark job (one task per file batch),
+    keeping planning O(files/cluster) wall-clock."""
+    files = _list_pbf_files(path)
+    if len(files) > index_scan_spark_threshold:
+        index = [
+            (p, off, size)
+            for (p, off, size) in spark.createDataFrame(
+                [(f,) for f in files], "path string"
+            )
+            .repartition(min(len(files), spark.sparkContext.defaultParallelism * 4))
+            .rdd.flatMap(
+                lambda r: [
+                    (r["path"], off, size)
+                    for btype, off, size in scan_blob_index(r["path"])
+                    if btype == "OSMData"
+                ]
+            )
+            .collect()
+        ]
+    else:
+        index = [
+            (p, off, size)
+            for p in files
+            for btype, off, size in scan_blob_index(p)
+            if btype == "OSMData"
+        ]
     par = parallelism or spark.sparkContext.defaultParallelism
     idx = spark.createDataFrame(index, "path string, off long, size long")
     # round-robin, not hash: blob sizes are uniform-ish by construction

@@ -257,3 +257,20 @@ def test_streaming_planet_ingest_from_real_pbf(spark, tmp_path):
         for r in T.with_chunk(pts, split, base_level=8).select("id", "chunk_id").collect()
     }
     assert got == want and len(got) == 1000
+
+
+def test_distributed_index_scan_matches_driver_side(spark, tmp_path):
+    """Above the file-count threshold the blob-index scan distributes as a
+    Spark job; rows must be identical to the driver-side path."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(6):
+        osmpbf.write_osmpbf(
+            str(d / f"x{i}.osm.pbf"), nodes=gen_nodes(200), rows_per_block=64
+        )
+    ex = ["id", "version", "lat", "lon"]
+    a = _rows(osmpbf.read_osmpbf(spark, str(d), osmpbf.KIND_NODES,
+                                 index_scan_spark_threshold=2), ex, ex)
+    b = _rows(osmpbf.read_osmpbf(spark, str(d), osmpbf.KIND_NODES,
+                                 index_scan_spark_threshold=1000), ex, ex)
+    assert a == b and len(a) == 1200
