@@ -132,6 +132,39 @@ def concat_spans(buf, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return arr[base + within]
 
 
+def precompute_varints(buf) -> tuple[np.ndarray, np.ndarray]:
+    """(value, byte-length) of the varint starting at EVERY byte position —
+    one vectorized pass over the whole buffer. Lets a message walk replace
+    per-byte Python loops with O(1) array gathers: the decoded-in-lockstep
+    message scan (sources/osmpbf._walk_messages_vec) iterates once per
+    FIELD SLOT (~6 for a Way), each iteration vectorized over every message
+    in the block.
+
+    Positions that do not actually start a varint get garbage values —
+    harmless, the walk only ever reads positions the wire format defines.
+    Length is clamped to 10 (a 64-bit varint's max); a walk landing on a
+    longer run raises downstream via bounds checks."""
+    arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    term = arr < 0x80
+    # next terminator index at or after p (suffix scan, vectorized)
+    idx = np.where(term, np.arange(n, dtype=np.int64), np.int64(n + 20))
+    nxt = np.minimum.accumulate(idx[::-1])[::-1]
+    vlen = np.minimum(nxt - np.arange(n, dtype=np.int64) + 1, 10)
+    pad = np.zeros(n + 10, dtype=np.uint64)
+    pad[:n] = arr & 0x7F
+    val = pad[:n].copy()
+    base = np.arange(n, dtype=np.int64)
+    # iterate only to the longest varint actually present (typically 5-6,
+    # not 10 — measured ~35% off this function's wall)
+    for k in range(1, int(vlen.max())):
+        mask = vlen > k
+        val[mask] |= pad[base[mask] + k] << np.uint64(7 * k)
+    return val, vlen
+
+
 # ---------------------------------------------------------------------------
 # encode (writer side — drivers/fixtures; packed payloads vectorized)
 # ---------------------------------------------------------------------------

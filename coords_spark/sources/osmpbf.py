@@ -422,6 +422,94 @@ def _decode_plain_nodes(data, spans, table, gran, lat_off, lon_off) -> dict:
     }
 
 
+def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
+    """Vectorized LOCKSTEP walk of N same-type embedded messages: one
+    iteration per field SLOT (a Way has ~6), each iteration an array
+    operation over every still-active message — no per-message Python.
+    Built on proto.precompute_varints (value+length of the varint at every
+    byte, one pass per block).
+
+    want: {field_no: 'varint' | 'len'}. Returns (varint values per field
+    [uint64, 0 where absent], span (starts, ends) per field [(0,0) where
+    absent]). Repeated fields keep the last occurrence (matches the scalar
+    walk). Corrupt lengths that push a cursor past its message end raise."""
+    if val is None:
+        val, vlen = P.precompute_varints(data)
+    n = len(spans)
+    cur = np.asarray([s for s, _ in spans], dtype=np.int64)
+    end = np.asarray([e for _, e in spans], dtype=np.int64)
+    defaults = defaults or {}
+    out_varint = {
+        f: np.full(n, defaults.get(f, 0), dtype=np.uint64)
+        for f, t in want.items()
+        if t == "varint"
+    }
+    out_span = {
+        f: (np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64))
+        for f, t in want.items()
+        if t == "len"
+    }
+    while True:
+        active = np.nonzero(cur < end)[0]
+        if active.size == 0:
+            break
+        p = cur[active]
+        key = val[p]
+        klen = vlen[p]
+        fno = (key >> np.uint64(3)).astype(np.int64)
+        wt = (key & np.uint64(7)).astype(np.int64)
+        p2 = p + klen
+        adv = np.zeros(active.size, dtype=np.int64)
+        m0 = wt == P.WT_VARINT
+        m2 = wt == P.WT_LEN
+        if m0.any():
+            adv[m0] = klen[m0] + vlen[p2[m0]]
+        if m2.any():
+            adv[m2] = klen[m2] + vlen[p2[m2]] + val[p2[m2]].astype(np.int64)
+        m1 = wt == P.WT_FIXED64
+        m5 = wt == P.WT_FIXED32
+        adv[m1] = klen[m1] + 8
+        adv[m5] = klen[m5] + 4
+        if (~(m0 | m1 | m2 | m5)).any():
+            raise ValueError("unsupported wire type in message")
+        for f, t in want.items():
+            if t == "varint":
+                sel = (fno == f) & m0
+                if sel.any():
+                    out_varint[f][active[sel]] = val[p2[sel]]
+            else:
+                sel = (fno == f) & m2
+                if sel.any():
+                    ps = p2[sel] + vlen[p2[sel]]
+                    starts, ends_ = out_span[f]
+                    starts[active[sel]] = ps
+                    ends_[active[sel]] = ps + val[p2[sel]].astype(np.int64)
+        cur[active] = p + adv
+        if (cur[active] > end[active]).any():
+            raise ValueError("message field overruns span")
+    return out_varint, out_span
+
+
+def _versions_from_info(data, info_spans, val, vlen) -> np.ndarray:
+    """version (int64, -1 where absent) from Info message spans — a second
+    lockstep walk restricted to messages that HAVE an info field."""
+    n = len(info_spans)
+    ver = np.full(n, -1, dtype=np.int64)
+    has = [i for i, (s, e) in enumerate(info_spans) if e > s]
+    if not has:
+        return ver
+    vi, _si = _walk_messages_vec(
+        data,
+        [info_spans[i] for i in has],
+        {1: "varint"},
+        val=val,
+        vlen=vlen,
+        defaults={1: np.uint64(0xFFFFFFFFFFFFFFFF)},  # absent version -> -1
+    )
+    ver[np.asarray(has)] = vi[1].astype(np.int64)
+    return ver
+
+
 def _bulk_packed(data, spans_list, terms_cumsum):
     """Bulk-decode ONE packed field across MANY messages: concatenate the
     field spans, one vectorized varint pass, per-message counts from the
@@ -433,30 +521,23 @@ def _bulk_packed(data, spans_list, terms_cumsum):
     return vals, counts
 
 
-def _decode_ways(data, spans, table) -> dict:
+def _decode_ways(data, spans, table, val=None, vlen=None) -> dict:
+    """Vectorized Way decode: ONE lockstep field walk over every Way of
+    the block (no per-message Python), then the packed refs/keys/vals
+    bulk-decode. _decode_ways_scalar is the reference walk, pinned equal
+    by pytest."""
     n = len(spans)
-    ids = np.empty(n, dtype=np.int64)
-    ver = np.full(n, -1, dtype=np.int64)
-    empty = (0, 0)
-    kspans, vspans, rspans = [], [], []
-    for i, (s, e) in enumerate(spans):
-        kf = vf = rf = empty
-        for fno, _wt, val in P.walk_fields(data, s, e):
-            if fno == 1:
-                ids[i] = val
-            elif fno == 2:
-                kf = val
-            elif fno == 3:
-                vf = val
-            elif fno == 4:
-                info = P.fields_dict(data, *val)
-                if 1 in info:
-                    ver[i] = info[1][0]
-            elif fno == 8:
-                rf = val
-        kspans.append(kf)
-        vspans.append(vf)
-        rspans.append(rf)
+    if val is None:
+        val, vlen = P.precompute_varints(data)
+    vints, spans_out = _walk_messages_vec(
+        data, spans, {1: "varint", 2: "len", 3: "len", 4: "len", 8: "len"},
+        val=val, vlen=vlen,
+    )
+    ids = vints[1].astype(np.int64)
+    ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
+    kspans = list(zip(*spans_out[2]))
+    vspans = list(zip(*spans_out[3]))
+    rspans = list(zip(*spans_out[8]))
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
     kidx, nk = _bulk_packed(data, kspans, tc)
@@ -477,36 +558,23 @@ def _decode_ways(data, spans, table) -> dict:
     }
 
 
-def _decode_relations(data, spans, table) -> dict:
+def _decode_relations(data, spans, table, val=None, vlen=None) -> dict:
+    """Vectorized Relation decode — same lockstep walk as _decode_ways."""
+    if val is None:
+        val, vlen = P.precompute_varints(data)
+    vints, spans_out = _walk_messages_vec(
+        data, spans,
+        {1: "varint", 2: "len", 3: "len", 4: "len", 8: "len", 9: "len", 10: "len"},
+        val=val, vlen=vlen,
+    )
     n = len(spans)
-    ids = np.empty(n, dtype=np.int64)
-    ver = np.full(n, -1, dtype=np.int64)
-    empty = (0, 0)
-    kspans, vspans, rolespans, memspans, typespans = [], [], [], [], []
-    for i, (s, e) in enumerate(spans):
-        kf = vf = rof = mf = tf = empty
-        for fno, _wt, val in P.walk_fields(data, s, e):
-            if fno == 1:
-                ids[i] = val
-            elif fno == 2:
-                kf = val
-            elif fno == 3:
-                vf = val
-            elif fno == 4:
-                info = P.fields_dict(data, *val)
-                if 1 in info:
-                    ver[i] = info[1][0]
-            elif fno == 8:
-                rof = val
-            elif fno == 9:
-                mf = val
-            elif fno == 10:
-                tf = val
-        kspans.append(kf)
-        vspans.append(vf)
-        rolespans.append(rof)
-        memspans.append(mf)
-        typespans.append(tf)
+    ids = vints[1].astype(np.int64)
+    ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
+    kspans = list(zip(*spans_out[2]))
+    vspans = list(zip(*spans_out[3]))
+    rolespans = list(zip(*spans_out[8]))
+    memspans = list(zip(*spans_out[9]))
+    typespans = list(zip(*spans_out[10]))
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
     kidx, nk = _bulk_packed(data, kspans, tc)
@@ -537,26 +605,77 @@ def _decode_relations(data, spans, table) -> dict:
     }
 
 
+def _fields_dict_fast(data, val, vlen, lo: int, hi: int) -> dict[int, list]:
+    """fields_dict over precomputed varint tables: O(1) array lookups per
+    FIELD instead of per byte — this is what makes the group-level walk
+    (one length-delimited field per Way message, thousands per block)
+    cheap. Semantics identical to proto.fields_dict."""
+    out: dict[int, list] = {}
+    pos = lo
+    while pos < hi:
+        key = int(val[pos])
+        klen = int(vlen[pos])
+        fno, wt = key >> 3, key & 7
+        p2 = pos + klen
+        if wt == P.WT_VARINT:
+            v = int(val[p2])
+            pos = p2 + int(vlen[p2])
+        elif wt == P.WT_LEN:
+            ln = int(val[p2])
+            s = p2 + int(vlen[p2])
+            v = (s, s + ln)
+            pos = s + ln
+        elif wt == P.WT_FIXED64:
+            v = int.from_bytes(data[p2 : p2 + 8], "little")
+            pos = p2 + 8
+        elif wt == P.WT_FIXED32:
+            v = int.from_bytes(data[p2 : p2 + 4], "little")
+            pos = p2 + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} (field {fno})")
+        out.setdefault(fno, []).append(v)
+        if pos > hi:
+            raise ValueError("message field overruns buffer")
+    return out
+
+
 def decode_primitive_block(data: bytes, kind: int) -> Iterator[pa.RecordBatch]:
     """Inflated PrimitiveBlock bytes -> record batches of `kind` entities
     (a block may mix kinds across groups; others are skipped cheaply —
-    their payload spans are never varint-decoded)."""
-    fd = P.fields_dict(data, 0, len(data))
+    their payload spans are never varint-decoded). The varint tables are
+    precomputed ONCE per block and shared by every walk below."""
+    # LAZY varint tables: the dense-node path (the planet-dominant table)
+    # never walks per-message fields and must not pay the O(10 x buflen)
+    # precompute; way/relation blocks compute it once and share it
+    tables: list = []
+
+    def tabs():
+        if not tables:
+            tables.append(P.precompute_varints(data))
+        return tables[0]
+
+    fd = P.fields_dict(data, 0, len(data))  # few top-level fields: scalar
     table = _decode_stringtable(data, fd[1][0]) if 1 in fd else np.empty(0, dtype=object)
     gran = fd.get(17, [100])[0]
     lat_off = fd.get(19, [0])[0]
     lon_off = fd.get(20, [0])[0]
     for gspan in fd.get(2, []):
-        g = P.fields_dict(data, *gspan)
         if kind == KIND_NODES:
+            g = P.fields_dict(data, *gspan)  # dense group: ~1 field
             if 2 in g:
                 yield _block_to_batch(kind, _decode_dense(data, g[2][0], table, gran, lat_off, lon_off))
             if 1 in g:
                 yield _block_to_batch(kind, _decode_plain_nodes(data, g[1], table, gran, lat_off, lon_off))
-        elif kind == KIND_WAYS and 3 in g:
-            yield _block_to_batch(kind, _decode_ways(data, g[3], table))
-        elif kind == KIND_RELATIONS and 4 in g:
-            yield _block_to_batch(kind, _decode_relations(data, g[4], table))
+        elif kind == KIND_WAYS:
+            val, vlen = tabs()
+            g = _fields_dict_fast(data, val, vlen, *gspan)
+            if 3 in g:
+                yield _block_to_batch(kind, _decode_ways(data, g[3], table, val=val, vlen=vlen))
+        elif kind == KIND_RELATIONS:
+            val, vlen = tabs()
+            g = _fields_dict_fast(data, val, vlen, *gspan)
+            if 4 in g:
+                yield _block_to_batch(kind, _decode_relations(data, g[4], table, val=val, vlen=vlen))
 
 
 # ---------------------------------------------------------------------------
