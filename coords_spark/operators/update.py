@@ -145,19 +145,28 @@ def _apply_way_rewrite(
     # old chunk ids holding affected ways -> file replace set (driver-side
     # list bounded by the diff's chunk fan-out, not by table size)
     all_paths = table.data_paths()
-    old_aff_chunks = {
-        r["chunk_id"]
-        for r in spark.read.parquet(*all_paths)
-        .join(aff, "way_id", "semi")
-        .select("chunk_id")
-        .distinct()
-        .collect()
-    }
+    old_aff_chunks = (
+        {
+            r["chunk_id"]
+            for r in spark.read.parquet(*all_paths)
+            .join(aff, "way_id", "semi")
+            .select("chunk_id")
+            .distinct()
+            .collect()
+        }
+        if all_paths
+        else set()  # empty table: nothing to rewrite, new rows just append
+    )
+    # a file with no chunk stats could hold ANY affected way — rewrite it
+    # conservatively rather than leave a stale duplicate behind
     replace = [
         e
         for e in table.files()
-        if e.get("chunk_min") is not None
-        and any(e["chunk_min"] <= c <= e["chunk_max"] for c in old_aff_chunks)
+        if old_aff_chunks
+        and (
+            e.get("chunk_min") is None
+            or any(e["chunk_min"] <= c <= e["chunk_max"] for c in old_aff_chunks)
+        )
     ]
     replace_paths = [os.path.join(table_path, e["path"]) for e in replace]
 

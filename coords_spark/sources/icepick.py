@@ -124,6 +124,9 @@ class IcepickTable:
         staged = sorted(glob.glob(os.path.join(staging_dir, "**", "*.parquet"), recursive=True))
         entries = []
         gstr = None if group is None else str(group)
+        # one listdir for the whole batch: calling _next_file_seq per file
+        # re-lists data/ after each move (O(files^2)) and skips numbers
+        seq0 = self._next_file_seq()
         for i, src in enumerate(staged):
             md = pq.read_metadata(src)
             if i == 0:
@@ -145,7 +148,7 @@ class IcepickTable:
                             maxs.append(st.max)
                     if mins:
                         cmin, cmax = min(mins), max(maxs)
-            base = f"part-{self._next_file_seq() + i:06d}-{os.path.basename(src)}"
+            base = f"part-{seq0 + i:06d}-{os.path.basename(src)}"
             dst = os.path.join(self.data_dir, base)
             shutil.move(src, dst)
             # durability: the manifest must never reference pages the kernel

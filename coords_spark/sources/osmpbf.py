@@ -329,9 +329,15 @@ def _decode_stringtable(data: bytes, span) -> np.ndarray:
 
 
 def _packed_or_empty(data, fd, fno) -> np.ndarray:
+    """All occurrences of a packed field, concatenated in byte order —
+    spec-legal writers may split one logical packed field across several
+    length-delimited occurrences."""
     if fno not in fd:
         return np.empty(0, dtype=np.uint64)
-    return P.packed_uvarints(data, fd[fno][0])
+    spans = fd[fno]
+    if len(spans) == 1:
+        return P.packed_uvarints(data, spans[0])
+    return np.concatenate([P.packed_uvarints(data, sp) for sp in spans])
 
 
 def _coord_i32(raw: np.ndarray, offset: int, granularity: int) -> np.ndarray:
@@ -429,10 +435,16 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
     Built on proto.precompute_varints (value+length of the varint at every
     byte, one pass per block).
 
-    want: {field_no: 'varint' | 'len'}. Returns (varint values per field
-    [uint64, 0 where absent], span (starts, ends) per field [(0,0) where
-    absent]). Repeated fields keep the last occurrence (matches the scalar
-    walk). Corrupt lengths that push a cursor past its message end raise."""
+    want: {field_no: 'varint' | 'len' | 'packed'}. Returns
+    (varint values per field [uint64, 0 where absent],
+     span (starts, ends) per field [(0,0) where absent],
+     packed occurrences per field [(msg_idx, starts, ends) arrays]).
+    Singular fields ('varint'/'len', e.g. an embedded Info message) keep
+    the LAST occurrence — proto3 semantics for non-repeated fields.
+    'packed' fields collect EVERY occurrence: spec-legal writers may split
+    one logical packed field across several length-delimited occurrences,
+    and the decoder must concatenate them (_bulk_packed does, in byte
+    order). Corrupt lengths that push a cursor past its message end raise."""
     if val is None:
         val, vlen = P.precompute_varints(data)
     n = len(spans)
@@ -449,6 +461,7 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
         for f, t in want.items()
         if t == "len"
     }
+    out_packed: dict[int, list] = {f: [] for f, t in want.items() if t == "packed"}
     while True:
         active = np.nonzero(cur < end)[0]
         if active.size == 0:
@@ -481,13 +494,24 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
                 sel = (fno == f) & m2
                 if sel.any():
                     ps = p2[sel] + vlen[p2[sel]]
-                    starts, ends_ = out_span[f]
-                    starts[active[sel]] = ps
-                    ends_[active[sel]] = ps + val[p2[sel]].astype(np.int64)
+                    pe = ps + val[p2[sel]].astype(np.int64)
+                    if t == "packed":
+                        out_packed[f].append((active[sel].copy(), ps, pe))
+                    else:
+                        starts, ends_ = out_span[f]
+                        starts[active[sel]] = ps
+                        ends_[active[sel]] = pe
         cur[active] = p + adv
         if (cur[active] > end[active]).any():
             raise ValueError("message field overruns span")
-    return out_varint, out_span
+    packed = {}
+    for f, chunks in out_packed.items():
+        if chunks:
+            packed[f] = tuple(np.concatenate(a) for a in zip(*chunks))
+        else:
+            z = np.empty(0, dtype=np.int64)
+            packed[f] = (z, z, z)
+    return out_varint, out_span, packed
 
 
 def _versions_from_info(data, info_spans, val, vlen) -> np.ndarray:
@@ -498,7 +522,7 @@ def _versions_from_info(data, info_spans, val, vlen) -> np.ndarray:
     has = [i for i, (s, e) in enumerate(info_spans) if e > s]
     if not has:
         return ver
-    vi, _si = _walk_messages_vec(
+    vi, _si, _pk = _walk_messages_vec(
         data,
         [info_spans[i] for i in has],
         {1: "varint"},
@@ -510,41 +534,55 @@ def _versions_from_info(data, info_spans, val, vlen) -> np.ndarray:
     return ver
 
 
-def _bulk_packed(data, spans_list, terms_cumsum):
+def _bulk_packed(data, occ, n, terms_cumsum):
     """Bulk-decode ONE packed field across MANY messages: concatenate the
     field spans, one vectorized varint pass, per-message counts from the
-    terminator prefix sum. Returns (values u64, counts per message)."""
-    starts = np.asarray([s for s, _ in spans_list], dtype=np.int64)
-    ends = np.asarray([e for _, e in spans_list], dtype=np.int64)
-    counts = P.count_varints_per_span(terms_cumsum, starts, ends)
-    vals = V.decode_uvarints(P.concat_spans(data, starts, ends)) if ends.sum() - starts.sum() else np.empty(0, dtype=np.uint64)
+    terminator prefix sum. `occ` is (msg_idx, starts, ends) occurrence
+    arrays from _walk_messages_vec's 'packed' output — a message may own
+    SEVERAL occurrences (spec-legal split packed fields); they are sorted
+    to (message, byte-order) so values group contiguously per message and
+    concatenate, and per-message counts sum across occurrences.
+    Returns (values u64, counts per message [len n])."""
+    midx, starts, ends = occ
+    counts = np.zeros(n, dtype=np.int64)
+    if midx.size == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    if midx.size > 1 and not (midx[:-1] < midx[1:]).all():
+        order = np.lexsort((starts, midx))
+        midx, starts, ends = midx[order], starts[order], ends[order]
+    occ_counts = P.count_varints_per_span(terms_cumsum, starts, ends)
+    np.add.at(counts, midx, occ_counts)
+    vals = (
+        V.decode_uvarints(P.concat_spans(data, starts, ends))
+        if (ends - starts).sum()
+        else np.empty(0, dtype=np.uint64)
+    )
     return vals, counts
 
 
 def _decode_ways(data, spans, table, val=None, vlen=None) -> dict:
     """Vectorized Way decode: ONE lockstep field walk over every Way of
     the block (no per-message Python), then the packed refs/keys/vals
-    bulk-decode. _decode_ways_scalar is the reference walk, pinned equal
-    by pytest."""
+    bulk-decode. Correctness is pinned by the write/read roundtrip tests
+    (byte-identical tables through the spec-valid writer) in
+    tests/test_osmpbf.py."""
     n = len(spans)
     if val is None:
         val, vlen = P.precompute_varints(data)
-    vints, spans_out = _walk_messages_vec(
-        data, spans, {1: "varint", 2: "len", 3: "len", 4: "len", 8: "len"},
+    vints, spans_out, packed = _walk_messages_vec(
+        data, spans,
+        {1: "varint", 2: "packed", 3: "packed", 4: "len", 8: "packed"},
         val=val, vlen=vlen,
     )
     ids = vints[1].astype(np.int64)
     ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
-    kspans = list(zip(*spans_out[2]))
-    vspans = list(zip(*spans_out[3]))
-    rspans = list(zip(*spans_out[8]))
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
-    kidx, nk = _bulk_packed(data, kspans, tc)
-    vidx, nv = _bulk_packed(data, vspans, tc)
+    kidx, nk = _bulk_packed(data, packed[2], n, tc)
+    vidx, nv = _bulk_packed(data, packed[3], n, tc)
     if not (nk == nv).all():
         raise ValueError("way keys/vals length mismatch")
-    rdel, nrefs = _bulk_packed(data, rspans, tc)
+    rdel, nrefs = _bulk_packed(data, packed[8], n, tc)
     seg_starts = np.zeros(n, dtype=np.int64)
     np.cumsum(nrefs[:-1], out=seg_starts[1:])
     flat = V.segmented_delta_decode(P.zigzag64(rdel), seg_starts, nrefs)
@@ -562,26 +600,22 @@ def _decode_relations(data, spans, table, val=None, vlen=None) -> dict:
     """Vectorized Relation decode — same lockstep walk as _decode_ways."""
     if val is None:
         val, vlen = P.precompute_varints(data)
-    vints, spans_out = _walk_messages_vec(
+    vints, spans_out, packed = _walk_messages_vec(
         data, spans,
-        {1: "varint", 2: "len", 3: "len", 4: "len", 8: "len", 9: "len", 10: "len"},
+        {1: "varint", 2: "packed", 3: "packed", 4: "len",
+         8: "packed", 9: "packed", 10: "packed"},
         val=val, vlen=vlen,
     )
     n = len(spans)
     ids = vints[1].astype(np.int64)
     ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
-    kspans = list(zip(*spans_out[2]))
-    vspans = list(zip(*spans_out[3]))
-    rolespans = list(zip(*spans_out[8]))
-    memspans = list(zip(*spans_out[9]))
-    typespans = list(zip(*spans_out[10]))
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
-    kidx, nk = _bulk_packed(data, kspans, tc)
-    vidx, nv = _bulk_packed(data, vspans, tc)
-    ridx, nroles = _bulk_packed(data, rolespans, tc)
-    mdel, nmem = _bulk_packed(data, memspans, tc)
-    mty, nty = _bulk_packed(data, typespans, tc)
+    kidx, nk = _bulk_packed(data, packed[2], n, tc)
+    vidx, nv = _bulk_packed(data, packed[3], n, tc)
+    ridx, nroles = _bulk_packed(data, packed[8], n, tc)
+    mdel, nmem = _bulk_packed(data, packed[9], n, tc)
+    mty, nty = _bulk_packed(data, packed[10], n, tc)
     if not ((nk == nv).all() and (nroles == nmem).all() and (nmem == nty).all()):
         raise ValueError("relation parallel-array length mismatch")
     seg_starts = np.zeros(n, dtype=np.int64)

@@ -274,3 +274,49 @@ def test_distributed_index_scan_matches_driver_side(spark, tmp_path):
     b = _rows(osmpbf.read_osmpbf(spark, str(d), osmpbf.KIND_NODES,
                                  index_scan_spark_threshold=1000), ex, ex)
     assert a == b and len(a) == 1200
+
+
+def test_split_packed_fields_concatenated():
+    """A packed field emitted as SEVERAL length-delimited occurrences is
+    spec-legal; the decoder must concatenate them in byte order — in the
+    vectorized way/relation walk AND the scalar fields_dict path."""
+    table = osmpbf._stringtable([b"highway", b"primary", b"name", b"A1"])
+    # way 7: refs [100, 101, 105] delta-coded then SPLIT [100,1] + [5];
+    # keys/vals split 1+1 each. way 8 unsplit, to pin per-message grouping.
+    w1 = (
+        P.enc_field_varint(1, 7)
+        + P.enc_packed_uvarints(2, np.asarray([1], dtype=np.uint64))
+        + P.enc_packed_uvarints(3, np.asarray([2], dtype=np.uint64))
+        + P.enc_packed_sint64(8, np.asarray([100, 1], dtype=np.int64))
+        + P.enc_packed_uvarints(2, np.asarray([3], dtype=np.uint64))
+        + P.enc_packed_uvarints(3, np.asarray([4], dtype=np.uint64))
+        + P.enc_packed_sint64(8, np.asarray([5], dtype=np.int64))
+    )
+    w2 = (
+        P.enc_field_varint(1, 8)
+        + P.enc_packed_sint64(8, np.asarray([200, -1], dtype=np.int64))
+    )
+    block = P.enc_field_len(1, table) + P.enc_field_len(
+        2, P.enc_field_len(3, w1) + P.enc_field_len(3, w2)
+    )
+    rows = list(osmpbf.decode_primitive_block(block, osmpbf.KIND_WAYS))[0].to_pylist()
+    assert rows[0]["id"] == 7
+    assert rows[0]["refs"] == [100, 101, 106]
+    assert rows[0]["tags"] == [("highway", "primary"), ("name", "A1")]
+    assert rows[1]["id"] == 8 and rows[1]["refs"] == [200, 199]
+
+    # scalar path: plain Node with keys/vals each split across occurrences
+    node = (
+        P.enc_field_sint64(1, 5)
+        + P.enc_packed_uvarints(2, np.asarray([1], dtype=np.uint64))
+        + P.enc_packed_uvarints(3, np.asarray([2], dtype=np.uint64))
+        + P.enc_packed_uvarints(2, np.asarray([3], dtype=np.uint64))
+        + P.enc_packed_uvarints(3, np.asarray([4], dtype=np.uint64))
+        + P.enc_field_sint64(8, 10)
+        + P.enc_field_sint64(9, 20)
+    )
+    nblock = P.enc_field_len(1, table) + P.enc_field_len(
+        2, P.enc_field_len(1, node)
+    ) + P.enc_field_varint(17, 100)
+    nrow = list(osmpbf.decode_primitive_block(nblock, osmpbf.KIND_NODES))[0].to_pylist()[0]
+    assert nrow["tags"] == [("highway", "primary"), ("name", "A1")]
