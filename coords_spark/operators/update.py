@@ -131,16 +131,24 @@ def patched_nodes(nodes: DataFrame, nodes_diff: DataFrame) -> DataFrame:
 
 
 def _apply_way_rewrite(
-    spark, table_path: str, aff: DataFrame, new_rows: DataFrame, group: str
+    spark,
+    table_path: str,
+    aff: DataFrame,
+    new_rows: DataFrame,
+    group: str,
+    key: str = "way_id",
+    stat: str = "affected_ways",
 ) -> dict:
-    """Shared rewrite machinery: drop every `aff` way from the files whose
-    chunk range holds one (row-exact left_anti rewrite), append `new_rows`,
-    land both as ONE atomic commit_replace (old snapshots keep reading the
-    pre-diff state — time travel is preserved)."""
+    """Shared rewrite machinery: drop every `aff` entity (matched on `key`)
+    from the files whose chunk range holds one (row-exact left_anti
+    rewrite), append `new_rows`, land both as ONE atomic commit_replace
+    (old snapshots keep reading the pre-diff state — time travel is
+    preserved). Used by the node/way diffs (key=way_id) and the relation
+    diff (key=relation_id)."""
     table = IcepickTable(table_path)
     n_aff = aff.count()
     if n_aff == 0:
-        return {"affected_ways": 0, "files_replaced": 0, "files_added": 0}
+        return {stat: 0, "files_replaced": 0, "files_added": 0}
 
     # old chunk ids holding affected ways -> file replace set (driver-side
     # list bounded by the diff's chunk fan-out, not by table size)
@@ -149,7 +157,7 @@ def _apply_way_rewrite(
         {
             r["chunk_id"]
             for r in spark.read.parquet(*all_paths)
-            .join(aff, "way_id", "semi")
+            .join(aff, key, "semi")
             .select("chunk_id")
             .distinct()
             .collect()
@@ -176,7 +184,7 @@ def _apply_way_rewrite(
     if replace_paths:
         (
             spark.read.parquet(*replace_paths)
-            .join(aff, "way_id", "left_anti")
+            .join(aff, key, "left_anti")
             .repartitionByRange("chunk_id")
             .sortWithinPartitions("chunk_id")
             .write.mode("append")
@@ -194,7 +202,7 @@ def _apply_way_rewrite(
     # Spark leaves _SUCCESS markers; _finalize_staged globs *.parquet only
     entries = table.commit_replace(staging, [e["path"] for e in replace], group=group)
     return {
-        "affected_ways": n_aff,
+        stat: n_aff,
         "old_chunks": sorted(old_aff_chunks),
         "files_replaced": len(replace),
         "files_added": len(entries),
@@ -266,3 +274,111 @@ def apply_way_diff(
     aff = aff.localCheckpoint()
     new_rows = _way_rows(ways_diff, nodes, split, base_level)
     return _apply_way_rewrite(spark, table_path, aff, new_rows, group)
+
+
+# ---------------------------------------------------------------------------
+# relation diffs (multipolygon chunk tables) — VERDICT r5 ask #3
+# ---------------------------------------------------------------------------
+
+
+def _relation_rows(
+    relations: DataFrame, resolved_ways: DataFrame, split, base_level: int
+) -> DataFrame:
+    """Canonical multipolygon-chunk row set: J2 member join -> T8 ring
+    assembly -> envelope of the outer ring (T3) -> deepest containing cell
+    (T4) -> chunk under `split` (T5). One definition shared by full build
+    and incremental rebuild so the two paths cannot drift (same contract
+    as _way_rows)."""
+    from coords_spark.operators import multipolygon
+
+    members = resolve.resolve_relation_members(relations, resolved_ways)
+    polys = multipolygon.reconstruct_multipolygons(members)
+    g = geometry.with_geometry_cell(geometry.with_envelope(polys, pts="outer"))
+    chunked = tiling.with_chunk(g, split, base_level=base_level)
+    return chunked.select(
+        "relation_id", "poly_idx", "cell", "chunk_id", "outer", "inners"
+    )
+
+
+def build_relation_chunk_table(
+    spark,
+    relations: DataFrame,
+    resolved_ways: DataFrame,
+    table_path: str,
+    split,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+) -> IcepickTable:
+    """Full build of a multipolygon chunk table (the relation-diff target);
+    persists the split-set sidecar exactly like build_way_chunk_table."""
+    rows = _relation_rows(relations, resolved_ways, split, base_level)
+    t = tiling.materialize_chunk_table(rows, table_path, key_col="relation_id")
+    save_split_set(table_path, split, base_level)
+    return t
+
+
+def affected_relation_ids(relations: DataFrame, way_ids: DataFrame) -> DataFrame:
+    """(relation_id) whose member list references any of `way_ids` (a
+    one-column DataFrame) — derives "which relations does a way diff
+    touch" the same way affected_way_ids derives ways from a node diff.
+    The way-id set is the diff, i.e. the small side: broadcast it."""
+    w = way_ids.select(F.col(way_ids.columns[0]).alias("way_id")).distinct()
+    mem = (
+        relations.select(
+            F.col("id").alias("relation_id"), F.explode("members").alias("m")
+        )
+        .filter(F.col("m.mtype") == 1)
+        .select("relation_id", F.col("m.ref").alias("way_id"))
+    )
+    return mem.join(F.broadcast(w), "way_id").select("relation_id").distinct()
+
+
+def apply_relation_diff(
+    spark,
+    table_path: str,
+    relations_diff: DataFrame,
+    resolved_ways: DataFrame,
+    deleted_relation_ids: DataFrame | None = None,
+    split=None,
+    base_level: int | None = None,
+    group: str = "relation_diff",
+) -> dict:
+    """Apply a RELATION diff — changed member lists or roles, brand-new or
+    deleted relations — to an existing multipolygon chunk table:
+    reassemble multipolygons for ONLY the diff's relations (the J2 join +
+    T8 ring assembly run over the diff, never the whole table), drop their
+    old polygon rows from exactly the files whose chunk range holds one,
+    append the reassembled rows, land both as one atomic commit_replace.
+    Untouched files stay byte-identical; old snapshots keep reading the
+    pre-diff state.
+
+    For member-WAY geometry changes (a way diff rippling into relations),
+    derive the blast radius with affected_relation_ids(relations,
+    changed_way_ids) and pass relations.join(that, "id", "semi") as
+    relations_diff, with resolved_ways carrying the POST-diff geometry.
+
+    Closes the update family — node diffs (apply_node_diff), way diffs
+    (apply_way_diff), relation diffs (this); REF? the reverse-index update
+    path src/containers/reverseIndex.* [M], mount empty."""
+    if split is None:
+        split, sidecar_bl = load_split_set(table_path)
+        base_level = sidecar_bl if base_level is None else base_level
+    elif base_level is None:
+        base_level = tiling.DEFAULT_BASE_LEVEL
+    aff = relations_diff.select(F.col("id").alias("relation_id")).distinct()
+    if deleted_relation_ids is not None:
+        aff = aff.unionAll(
+            deleted_relation_ids.select(
+                F.col(deleted_relation_ids.columns[0]).alias("relation_id")
+            )
+        ).distinct()
+    aff = aff.localCheckpoint()
+    new_rows = _relation_rows(relations_diff, resolved_ways, split, base_level)
+    return _apply_way_rewrite(
+        spark,
+        table_path,
+        aff,
+        new_rows,
+        group,
+        key="relation_id",
+        stat="affected_relations",
+    )

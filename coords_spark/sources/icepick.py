@@ -253,6 +253,88 @@ class IcepickTable:
         shutil.rmtree(staging_dir, ignore_errors=True)
         return entries
 
+    # -- maintenance (VERDICT r5 ask #4) -------------------------------------
+
+    def compact(
+        self,
+        spark,
+        target_bytes: int = 128 << 20,
+        chunk_col: str = "chunk_id",
+        group: str = "compact",
+    ) -> dict:
+        """Bin-pack small data files into ~target_bytes files as ONE atomic
+        commit_replace. Every apply_*_diff appends a rewrite generation, so
+        after N diffs the table accumulates small files; this is the
+        lifecycle operator that reclaims read efficiency. Only files
+        smaller than target_bytes participate; the rewrite range-partitions
+        on chunk_col + sorts within partitions, so chunk clustering — and
+        with it manifest min/max lineage and render-read file pruning —
+        survives compaction. Dropped files stay on disk for time travel
+        until expire_snapshots reclaims them."""
+        import math
+        import tempfile
+
+        small = [
+            e
+            for e in self.files()
+            if os.path.getsize(os.path.join(self.path, e["path"])) < target_bytes
+        ]
+        if len(small) < 2:
+            return {"files_compacted": 0, "files_written": 0, "bytes_in": 0}
+        paths = [os.path.join(self.path, e["path"]) for e in small]
+        total = sum(os.path.getsize(p) for p in paths)
+        nparts = max(1, math.ceil(total / target_bytes))
+        staging = tempfile.mkdtemp(prefix="compact_", dir=self.path)
+        df = spark.read.parquet(*paths)
+        if chunk_col in df.columns:
+            df = df.repartitionByRange(nparts, chunk_col).sortWithinPartitions(
+                chunk_col
+            )
+        else:
+            df = df.repartition(nparts)
+        df.write.mode("append").parquet(os.path.join(staging, "packed"))
+        entries = self.commit_replace(
+            staging, [e["path"] for e in small], group=group, chunk_col=chunk_col
+        )
+        return {
+            "files_compacted": len(small),
+            "files_written": len(entries),
+            "bytes_in": total,
+        }
+
+    def expire_snapshots(self, keep_n: int = 1) -> dict:
+        """Drop all manifests but the newest keep_n and DELETE data files no
+        retained snapshot references — the space-reclaim half of the
+        maintenance pair (commit_replace retains dropped files for time
+        travel; only expiry may remove them). Expired manifests are removed
+        FIRST (and fsync'd) so a crash can never leave a manifest pointing
+        at a deleted file; orphaned data files are merely unreclaimed space
+        a re-run finishes off. Time travel to expired versions raises
+        thereafter."""
+        if keep_n < 1:
+            raise ValueError("expire_snapshots: keep_n must be >= 1")
+        vs = self.versions()
+        keep = vs[-keep_n:]
+        drop = [v for v in vs if v not in set(keep)]
+        referenced = {e["path"] for v in keep for e in self.files(v)}
+        for v in drop:
+            os.remove(os.path.join(self.manifest_dir, f"manifest-{v:06d}.json"))
+        if drop:
+            self._fsync_dir(self.manifest_dir)
+        removed = []
+        for n in sorted(os.listdir(self.data_dir)):
+            rel = os.path.join("data", n)
+            if n.startswith("part-") and rel not in referenced:
+                os.remove(os.path.join(self.data_dir, n))
+                removed.append(rel)
+        if removed:
+            self._fsync_dir(self.data_dir)
+        return {
+            "expired_versions": drop,
+            "removed_files": removed,
+            "kept_versions": keep,
+        }
+
     def mark_group_committed(self, group: str | int) -> None:
         """Commit an empty group (a resume unit that produced no rows)."""
         man = self.current_manifest()
