@@ -2056,6 +2056,192 @@ def incremental_update_apply(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("relation_diff_apply", None)
+def relation_diff_apply(spark, sf):
+    """Relation-diff apply end-to-end (VERDICT r5 ask #3): build a
+    multipolygon chunk table from the relation fixture, re-member ONE
+    relation (it takes another hotspot's rings) AND delete another, apply
+    both as one incremental commit_replace, and return the post-diff
+    per-chunk polygon rollup. Golden twin replays build + diff scalar-side
+    (independent ring assembly + chunk rules in tools/gen_goldens.py), so
+    a stale polygon row, an over-eager rewrite, or a wrong reassembly all
+    break the hash."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_relations
+    from coords_spark.operators import geometry, multipolygon, resolve, tiling, update
+    from coords_spark.sources.icepick import IcepickTable
+
+    relations_t, ring_ways_t = gen_relations(40)
+    pl = relations_t.to_pylist()
+    mps = [r for r in pl if any(m["role"] == "outer" for m in r["members"])]
+    a, b, c = mps[0], mps[-1], mps[1]
+    relations = spark.createDataFrame(relations_t)
+    rw = spark.createDataFrame(ring_ways_t).select(F.col("id").alias("way_id"), "pts")
+    polys = multipolygon.reconstruct_multipolygons(
+        resolve.resolve_relation_members(relations, rw)
+    )
+    g = geometry.with_geometry_cell(
+        geometry.with_envelope(polys, pts="outer")
+    ).withColumn("nbytes", (F.size("outer") * 8 + 64).cast("long"))
+    split = tiling.compute_split_set(
+        g, max_bytes=4 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+    )
+    tmp = tempfile.mkdtemp(prefix="rel_diff_")
+    try:
+        path = f"{tmp}/t"
+        update.build_relation_chunk_table(spark, relations, rw, path, split)
+        mod = {**a, "tags": dict(a["tags"]), "members": b["members"]}
+        diff = spark.createDataFrame([mod], schema=relations.schema)
+        deleted = spark.createDataFrame([(int(c["id"]),)], "relation_id long")
+        update.apply_relation_diff(
+            spark, path, diff, rw, deleted_relation_ids=deleted, split=split
+        )
+        t = IcepickTable(path)
+        return (
+            spark.read.parquet(*t.data_paths())
+            .groupBy("chunk_id")
+            .agg(
+                F.count("*").alias("n_polys"),
+                F.sum(F.size("outer")).cast("long").alias("outer_vertices"),
+                F.sum(F.size("inners")).cast("long").alias("n_holes"),
+                F.sum("relation_id").alias("rel_sum"),
+            )
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_q("pbf_create_tiles_stats", None)
+def pbf_create_tiles_stats(spark, sf):
+    """E3 composed end-to-end from the REAL front door (VERDICT r5 ask #5;
+    SURVEY §3 E3): .osm.pbf -> blob-parallel protobuf read -> resolve (J1)
+    -> envelope (T3) -> deepest cell (T4) -> chunk (T5) -> icepick
+    materialize (S2/S4) -> render_read of the London viewport through the
+    full pruning stack (S5) -> per-chunk rollup. ONE golden hash pins the
+    whole reference pipeline: wire codec, resolve join, chunk rules, store
+    roundtrip AND the viewport read contract. The bbox anchor is each
+    way's FIRST vertex (lat/lon columns; pruning layers only shrink I/O —
+    the exact anchor-in-bbox predicate is the semantic contract)."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, ingest, resolve, tiling
+    from coords_spark.sources import osmpbf
+
+    tmp = tempfile.mkdtemp(prefix="pbf_e3_")
+    try:
+        p = f"{tmp}/mini.osm.pbf"
+        osmpbf.write_osmpbf(
+            p, nodes=gen_nodes(4000), ways=gen_ways(600, 4000), rows_per_block=512
+        )
+        nodes = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_NODES)
+        ways = osmpbf.read_osmpbf(spark, p, osmpbf.KIND_WAYS)
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(
+            g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        rows = chunked.select(
+            "way_id",
+            "cell",
+            "chunk_id",
+            "pts",
+            F.expr("pts[0].lat").alias("lat"),
+            F.expr("pts[0].lon").alias("lon"),
+        )
+        path = f"{tmp}/tiles"
+        tiling.materialize_chunk_table(rows, path, key_col="way_id")
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London
+        got = ingest.render_read(
+            spark, path, bbox, zoom=12, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        return (
+            got.groupBy("chunk_id")
+            .agg(
+                F.count("*").alias("n_ways"),
+                F.sum(F.size("pts")).cast("long").alias("n_vertices"),
+                F.sum("way_id").alias("way_id_sum"),
+            )
+            .orderBy("chunk_id")
+            .localCheckpoint()  # materialize before the table dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_q("icepick_compact_stats", None)
+def icepick_compact_stats(spark, sf):
+    """Maintenance lifecycle end-to-end (VERDICT r5 ask #4): grow a table
+    through 6 small commits, compact() them into target-size files (one
+    atomic commit_replace, chunk clustering preserved), expire_snapshots
+    (keep_n=1) to reclaim the superseded files, and report the end state —
+    content aggregates read back AFTER the lifecycle plus the file and
+    manifest counts the lifecycle contract fixes. Golden twin states the
+    same scalars independently from the contract."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coords_spark.sources.icepick import IcepickTable
+
+    tmp = tempfile.mkdtemp(prefix="compact_q_")
+    try:
+        t = IcepickTable.create(f"{tmp}/t")
+        for b in range(6):
+            stage = f"{tmp}/s{b}"
+            _os.makedirs(stage)
+            keys = list(range(b * 100, (b + 1) * 100))
+            pq.write_table(
+                pa.table(
+                    {
+                        "image_id": pa.array(keys, pa.int64()),
+                        "chunk_id": pa.array([k % 7 for k in keys], pa.int64()),
+                    }
+                ),
+                f"{stage}/part-0.parquet",
+            )
+            t.commit_staged(stage, group=f"b{b}")
+        c = t.compact(spark, target_bytes=1 << 20)
+        e = t.expire_snapshots(keep_n=1)
+        df = spark.read.parquet(*t.data_paths())
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum("image_id").alias("s"),
+            F.countDistinct("chunk_id").alias("d"),
+        ).collect()[0]
+        on_disk = len([n for n in _os.listdir(t.data_dir) if n.startswith("part-")])
+        return spark.createDataFrame(
+            [
+                (
+                    int(c["files_compacted"]),
+                    int(c["files_written"]),
+                    len(e["removed_files"]),
+                    len(t.versions()),
+                    int(on_disk),
+                    int(r["n"]),
+                    int(r["s"]),
+                    int(r["d"]),
+                )
+            ],
+            "files_compacted long, files_written long, files_removed long, "
+            "n_snapshots long, files_on_disk long, n_rows long, key_sum long, "
+            "n_chunks long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("icepick_time_travel", None)
 def icepick_time_travel(spark, sf):
     """Snapshot isolation (S2/S3): two deterministic commits, then read the
@@ -2524,17 +2710,27 @@ _WINDOW_FIRST = [
     "incremental_update_apply",
     "grouping_sets_nation_region",
     "having_big_customers",
-    "bucket_totalprice",
     "anti_join_idle_customers",
-    "exists_discounted_orders",
     "window_running_user_value",
     "set_except_nations",
     "string_funcs_parts",
     "date_buckets_orders",
     "json_props_stats",
-    "case_when_segments",
-    "embedding_norms_by_label",
     "sliding_window_user_counts",
+    # r6 rotation (VERDICT r5 asks #1/#3/#4/#5): pbf_create_storage_stats —
+    # the ONLY query never driver-checked in any round — plus the three NEW
+    # operators (relation diff, E3 composed pipeline, compact/expire
+    # lifecycle). Rotated OUT — all hash-green in CORRECTNESS_r05 with an
+    # in-window family representative remaining: bucket_totalprice +
+    # exists_discounted_orders (agg/join families keep having/grouping_sets/
+    # anti_join), case_when_segments (scalar family keeps
+    # scalar_functions_suite/string_funcs/date_buckets),
+    # embedding_norms_by_label (embedding family keeps ivf/ann_join/
+    # cosine_pairs/knn_cosine).
+    "pbf_create_storage_stats",
+    "relation_diff_apply",
+    "pbf_create_tiles_stats",
+    "icepick_compact_stats",
 ]
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))

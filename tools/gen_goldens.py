@@ -286,6 +286,94 @@ def g_incremental_update_apply():
     return ["chunk_id", "n_ways", "n_vertices", "way_id_sum"], rows, {}
 
 
+def g_relation_diff_apply():
+    """Independent scalar twin of the relation-diff apply: assemble every
+    relation's polygons, build the split from the PRE-diff polygon set,
+    then re-member relation A with B's rings, delete C, re-assemble and
+    chunk EVERYTHING under the same split, per-chunk rollup. The engine
+    must reach the same end state by touching only the affected files."""
+    from coords_spark.fixtures import gen_relations
+
+    relations, ring_ways = (t.to_pylist() for t in gen_relations(40))
+    way_pts = {w["id"]: [(p["lat"], p["lon"]) for p in w["pts"]] for w in ring_ways}
+
+    def polys_of(members):
+        arcs = [
+            way_pts[m["ref"]]
+            for m in members
+            if m["mtype"] == 1 and m["ref"] in way_pts
+        ]
+        return mc.oracle_build_polygons(arcs) if arcs else []
+
+    mps = [r for r in relations if any(m["role"] == "outer" for m in r["members"])]
+    a, b, c = mps[0], mps[-1], mps[1]
+    items = []
+    for rel in relations:
+        for outer, _holes in polys_of(rel["members"]):
+            items.append((mc.way_envelope_cell(outer), len(outer) * 8 + 64))
+    splits = mc.split_set(items, 4 * 1024, BASE_LEVEL)
+    agg: dict[int, list[int]] = {}
+    for rel in relations:
+        if rel["id"] == c["id"]:
+            continue  # deleted by the diff
+        members = b["members"] if rel["id"] == a["id"] else rel["members"]
+        for outer, holes in polys_of(members):
+            ch = mc.assign_chunk(mc.way_envelope_cell(outer), splits, BASE_LEVEL)
+            g = agg.setdefault(ch, [0, 0, 0, 0])
+            g[0] += 1
+            g[1] += len(outer)
+            g[2] += len(holes)
+            g[3] += rel["id"]
+    rows = [(ch, *v) for ch, v in sorted(agg.items())]
+    return ["chunk_id", "n_polys", "outer_vertices", "n_holes", "rel_sum"], rows, {}
+
+
+def g_pbf_create_tiles_stats():
+    """Independent scalar twin of E3: resolve the way fixture, split under
+    64 KiB, keep ways whose FIRST vertex falls in the London viewport
+    (the render_read semantic contract — pruning only shrinks I/O),
+    per-chunk rollup."""
+    resolved = _resolved_ways()
+    items = {}
+    for wid, pts in resolved.items():
+        latlon = [(la, lo) for _nid, la, lo in pts]
+        items[wid] = (mc.way_envelope_cell(latlon), latlon)
+    splits = mc.split_set(
+        [(cell, len(ll) * 8 + 64) for cell, ll in items.values()], 64 * 1024, BASE_LEVEL
+    )
+    lat0, lon0, lat1, lon1 = int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7)
+    agg: dict[int, list[int]] = {}
+    for wid, (cell, ll) in sorted(items.items()):
+        alat, alon = ll[0]
+        if not (lat0 <= alat <= lat1 and lon0 <= alon <= lon1):
+            continue
+        ch = mc.assign_chunk(cell, splits, BASE_LEVEL)
+        g = agg.setdefault(ch, [0, 0, 0])
+        g[0] += 1
+        g[1] += len(ll)
+        g[2] += wid
+    rows = [(ch, *v) for ch, v in sorted(agg.items())]
+    return ["chunk_id", "n_ways", "n_vertices", "way_id_sum"], rows, {}
+
+
+def g_icepick_compact_stats():
+    """Lifecycle contract scalars, stated independently: 6 commits of 100
+    rows compact into 1 file (6 in, 1 out), expiry keeps 1 snapshot and
+    removes exactly the 6 superseded files, content is the untouched
+    union (600 rows, key_sum = sum(0..599), 7 distinct chunks)."""
+    rows = [(6, 1, 6, 1, 1, 600, sum(range(600)), 7)]
+    return [
+        "files_compacted",
+        "files_written",
+        "files_removed",
+        "n_snapshots",
+        "files_on_disk",
+        "n_rows",
+        "key_sum",
+        "n_chunks",
+    ], rows, {}
+
+
 def g_geo_multipolygon_assembly():
     from coords_spark.fixtures import gen_relations
 
@@ -892,6 +980,9 @@ GENERATORS = {
     "geo_raster_vector_align": g_geo_raster_vector_align,
     "geo_osm_way_tiling": g_geo_osm_way_tiling,
     "incremental_update_apply": g_incremental_update_apply,
+    "relation_diff_apply": g_relation_diff_apply,
+    "pbf_create_tiles_stats": g_pbf_create_tiles_stats,
+    "icepick_compact_stats": g_icepick_compact_stats,
     # E1-from-real-pbf lands on the SAME scalar rows as the way-tiling twin
     # (identical fixture + chunk rules; the pbf codec and icepick roundtrip
     # must be transparent)
