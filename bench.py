@@ -317,6 +317,43 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # icepick maintenance (r5 verdict ask #4): after N diff generations a
+    # table fragments into many small overlapping-range files; measure the
+    # read BEFORE and AFTER compact() — the post-diff read improvement the
+    # lifecycle operator exists for. 512 fragments mimic many rewrite
+    # generations; compact bin-packs them back to a handful of files
+    # (target sized so bench scale keeps multi-file parallelism — at
+    # production scale the default 128 MB target plays the same role).
+    tmp = tempfile.mkdtemp(prefix="bench_compact_")
+    try:
+        from coords_spark.sources.icepick import IcepickTable
+
+        t = IcepickTable.create(os.path.join(tmp, "t"))
+        frag_stage = os.path.join(tmp, "frag")
+        (
+            spark.range(n_rows)
+            .select(F.col("id").alias("image_id"), (F.col("id") % 97).alias("chunk_id"))
+            .repartition(512)
+            .write.mode("overwrite")
+            .parquet(frag_stage)
+        )
+        t.commit_staged(frag_stage, group="fragments")
+        t0 = time.time()
+        frag_sum = spark.read.parquet(*t.data_paths()).agg(F.sum("image_id")).collect()[0][0]
+        queries["icepick_fragmented_read"] = time.time() - t0
+        t0 = time.time()
+        t.compact(spark, target_bytes=2 << 20)
+        queries["icepick_compact"] = time.time() - t0
+        t.expire_snapshots(keep_n=1)
+        t0 = time.time()
+        comp_sum = spark.read.parquet(*t.data_paths()).agg(F.sum("image_id")).collect()[0][0]
+        queries["icepick_compacted_read"] = time.time() - t0
+        assert frag_sum == comp_sum
+    except Exception as e:
+        errors["icepick_compact"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = time.time() - t_start
     # round-over-round regression visibility (r3 verdict #7): ratio vs the
     # last driver-recorded bench; >1.2x regressions are named explicitly

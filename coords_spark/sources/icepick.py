@@ -151,25 +151,37 @@ class IcepickTable:
             base = f"part-{seq0 + i:06d}-{os.path.basename(src)}"
             dst = os.path.join(self.data_dir, base)
             shutil.move(src, dst)
-            # durability: the manifest must never reference pages the kernel
-            # hasn't persisted — fsync the data file before it is listed
-            fd = os.open(dst, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
             entries.append(
                 {
                     "path": os.path.join("data", base),
                     "rows": md.num_rows,
                     "chunk_min": cmin,
                     "chunk_max": cmax,
-                    "checksum": _sha256_file(dst),
+                    "checksum": None,  # filled by the parallel pass below
                     "group": gstr,
                     **(extra_stats or {}),
                 }
             )
+        # durability + lineage, parallel: the manifest must never reference
+        # pages the kernel hasn't persisted (fsync before listing) and every
+        # entry carries a sha256 — both release the GIL and are the commit's
+        # bytes-proportional serial tail when done per-file in the loop
+        # (VERDICT r5 ask #6, residual serial fraction)
+        def _seal(e: dict) -> str:
+            p = os.path.join(self.path, e["path"])
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return _sha256_file(p)
+
         if entries:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+                for e, digest in zip(entries, ex.map(_seal, entries)):
+                    e["checksum"] = digest
             self._fsync_dir(self.data_dir)
         return entries
 
