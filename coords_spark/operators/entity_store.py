@@ -1,0 +1,131 @@
+"""Id-keyed entity stores with UPSERT — the mutable raw-entity layer a
+continuous update pipeline needs (SURVEY.md §2.1 S2/S3 × the update
+family). REF? COORDS keeps nodes/ways/relations in mmap'd id-indexed
+containers (src/containers/chunkedFile.* [M] — mount empty) precisely so
+a minutely diff can patch entities in place; the Spark-first equivalent
+is an icepick table whose chunk key is the ID RANGE (chunk_id =
+id >> id_shift), so the shared keyed-rewrite machinery
+(operators/update.py::_apply_way_rewrite) gives bounded-file upserts:
+
+    diff ids -> affected id-range chunks -> rewrite ONLY files whose
+    chunk range holds one -> one atomic commit_replace
+
+100 TB posture: OSM ids are dense and new ids monotonically grow, so
+id-range chunking clusters hot appends into the top chunks while edits
+to old entities fan out — either way the rewrite set is O(diff ids /
+2^id_shift) files, never table-proportional. Manifest chunk min/max
+double as an id index: point lookups and diff joins prune files before
+Spark plans the scan. Time travel, compaction and snapshot expiry come
+free from the icepick layer (S8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coords_spark.operators import tiling
+from coords_spark.operators.update import _apply_way_rewrite
+from coords_spark.sources.icepick import IcepickTable
+
+DEFAULT_ID_SHIFT = 14  # 16k ids per chunk
+_SIDECAR = "_entity_store.json"
+
+
+def with_id_chunk(df: DataFrame, id_col: str = "id", id_shift: int = DEFAULT_ID_SHIFT) -> DataFrame:
+    """chunk_id = id >> id_shift (arithmetic shift; OSM ids are positive).
+    The shift amount is a Python int baked into the expression — the
+    variable-shift JVM limitation (CLAUDE.md) doesn't apply."""
+    return df.withColumn("chunk_id", F.expr(f"CAST({id_col} AS BIGINT) >> {id_shift}"))
+
+
+def _save_contract(table_path: str, id_col: str, id_shift: int) -> None:
+    with open(os.path.join(table_path, _SIDECAR), "w") as f:
+        json.dump({"id_col": id_col, "id_shift": id_shift}, f)
+
+
+def load_contract(table_path: str) -> tuple[str, int]:
+    """(id_col, id_shift) — the store's chunking contract; chunk ids are
+    only comparable under one shift, exactly like the geo split set."""
+    p = os.path.join(table_path, _SIDECAR)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no entity-store sidecar at {p} (not built by build_entity_store)"
+        )
+    with open(p) as f:
+        c = json.load(f)
+    return c["id_col"], c["id_shift"]
+
+
+def build_entity_store(
+    df: DataFrame,
+    table_path: str,
+    id_col: str = "id",
+    id_shift: int = DEFAULT_ID_SHIFT,
+) -> IcepickTable:
+    """Full build: rows land id-range-contiguous and sorted, so every
+    parquet row group and manifest entry carries tight id-range stats.
+    Kill-safe resume and per-file lineage come from the shared
+    materializer."""
+    rows = with_id_chunk(df, id_col, id_shift)
+    t = tiling.materialize_chunk_table(rows, table_path, key_col=id_col)
+    if t.arrow_schema() is None:
+        # empty build committed zero files, so no schema was captured —
+        # stamp it from the input frame (miss-path reads need it to plan)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        t.stamp_schema(to_arrow_schema(rows.schema))
+    _save_contract(table_path, id_col, id_shift)
+    return t
+
+
+def read_entity_store(spark, table_path: str, with_chunk: bool = False) -> DataFrame:
+    """Current snapshot of the store. Empty tables plan from the manifest
+    schema (LocalTableScan) — never open a data file on the miss path."""
+    t = IcepickTable(table_path)
+    paths = t.data_paths()
+    if not paths:
+        schema = t.spark_schema()
+        if schema is None:
+            raise ValueError(
+                f"entity store {table_path} is empty AND its manifest carries "
+                "no schema stamp (pre-r5 table?) — cannot plan the miss path"
+            )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*paths)
+    return df if with_chunk else df.drop("chunk_id")
+
+
+def upsert_entities(
+    spark,
+    table_path: str,
+    upserts: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    group: str = "upsert",
+) -> dict:
+    """Apply an entity diff to the store: drop every upserted/deleted id
+    from exactly the files whose id range holds it, append the new rows,
+    one atomic commit_replace (old snapshots keep reading the pre-diff
+    state). Returns the shared rewrite stats dict.
+
+    `upserts` rows must match the store schema minus chunk_id; brand-new
+    ids simply append (their id range holds no existing file). Delete-only
+    diffs pass upserts=None."""
+    id_col, id_shift = load_contract(table_path)
+    t = IcepickTable(table_path)
+    if upserts is None:
+        upserts = spark.createDataFrame([], t.spark_schema()).drop("chunk_id")
+    aff = upserts.select(F.col(id_col))
+    if deleted_ids is not None:
+        aff = aff.unionAll(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
+        )
+    aff = aff.distinct().localCheckpoint()
+    new_rows = with_id_chunk(upserts, id_col, id_shift)
+    return _apply_way_rewrite(
+        spark, table_path, aff, new_rows, group, key=id_col, stat="affected_entities"
+    )

@@ -193,6 +193,18 @@ class IcepickTable:
         if pending is not None:
             man["schema_ipc_b64"] = pending
 
+    def stamp_schema(self, arrow_schema) -> None:
+        """Explicitly stamp the table schema into a new manifest version —
+        for tables whose FIRST commit carried zero data files (an empty
+        build), where _finalize_staged never captured one. Keeps the
+        miss-path contract: reads always plan from the manifest schema."""
+        man = self.current_manifest()
+        man["version"] += 1
+        man["schema_ipc_b64"] = base64.b64encode(
+            arrow_schema.serialize().to_pybytes()
+        ).decode()
+        self._write_manifest(man)
+
     def arrow_schema(self, version: int | None = None):
         """The table's Arrow schema from manifest lineage alone — never
         opens a data file (VERDICT r4 ask #8: miss-path reads plan zero

@@ -1,0 +1,221 @@
+"""Continuous minutely-diff apply: OSM-replication-style diff batches ->
+entity-store upserts -> bounded rewrites of the derived way-chunk and
+multipolygon tables, exactly-once (SURVEY.md §2.9 × the update family).
+REF? COORDS consumes OSC replication diffs to keep its storage current
+(update pipeline around src/containers/reverseIndex.* [M] — mount empty);
+the Spark-first shape is Structured Streaming's file source over diff
+parquet batches + foreachBatch, where each micro-batch composes the
+EXISTING batch operators:
+
+    diff batch (mixed node/way/relation upserts+deletes)
+      1. upsert_entities into each id-keyed store     (O(diff) files)
+      2. blast radius: changed nodes -> referencing ways (reverse index
+         from the CURRENT ways store), + the way diff itself
+      3. apply_way_diff on the way-chunk table         (O(radius) files)
+      4. blast radius: changed ways -> member relations, + the relation
+         diff itself; apply_relation_diff              (O(radius) files)
+
+Exactly-once: every table keeps its own committed-group ledger and the
+group id is the stream batch id — a replayed micro-batch after a crash
+skips per-table (stores committed, derived not -> only derived re-apply;
+the derivation is deterministic from the post-upsert stores, which a
+replay reads in exactly the post-upsert state). Batches compose: batch
+N+1's re-resolution reads stores that already contain batch N, which is
+why the mutable entity-store layer exists at all.
+
+100 TB posture: every per-batch job is diff-proportional — the only
+table-proportional joins are equi-joins where the diff side is small
+(broadcast), and rewrites touch only files whose chunk/id range holds an
+affected entity. A day of minutely diffs then fragments the tables;
+icepick compact()/expire_snapshots() (S8) is the matching lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coords_spark.operators import entity_store as ES
+from coords_spark.operators import resolve, update
+from coords_spark.sources.icepick import IcepickTable
+
+# one unified row per changed entity, OSC-style: kind 0=node 1=way 2=rel;
+# action upsert|delete; payload columns nullable per kind
+DIFF_SCHEMA = (
+    "kind tinyint, action string, id bigint, version int, "
+    "lat int, lon int, refs array<bigint>, "
+    "members array<struct<mtype: tinyint, ref: bigint, role: string>>, "
+    "tags map<string,string>"
+)
+
+KIND_NODE, KIND_WAY, KIND_REL = 0, 1, 2
+
+
+def stream_diffs_from_dir(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream of diff batches: one parquet file per replication
+    interval, picked up in arrival order (maxFilesPerTrigger=1 keeps one
+    interval per micro-batch, preserving diff ordering semantics)."""
+    return (
+        spark.readStream.schema(DIFF_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def _ids(df: DataFrame) -> DataFrame:
+    return df.select("id")
+
+
+def apply_diff_batch(
+    spark,
+    batch_df: DataFrame,
+    nodes_store: str,
+    ways_store: str,
+    rels_store: str,
+    way_table: str | None,
+    rel_table: str | None,
+    group: str,
+) -> dict:
+    """Apply ONE diff batch everywhere; shared by the streaming sink and
+    batch callers (stream==batch cannot drift). Idempotent per table via
+    the committed-group ledger. Returns per-table stats."""
+    # consolidate to one final state per (kind, id): replication intervals
+    # are already consolidated upstream (one row per changed entity, OSC
+    # semantics), but a merged/late batch may carry several versions —
+    # keep the highest, delete winning version ties ('delete' < 'upsert')
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("kind", "id").orderBy(
+        F.desc_nulls_last("version"), F.asc("action")
+    )
+    b = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    stats: dict = {}
+
+    node_up = b.filter((F.col("kind") == KIND_NODE) & (F.col("action") == "upsert")).select(
+        "id", "version", "lat", "lon", "tags"
+    )
+    node_del = _ids(b.filter((F.col("kind") == KIND_NODE) & (F.col("action") == "delete")))
+    way_up = b.filter((F.col("kind") == KIND_WAY) & (F.col("action") == "upsert")).select(
+        "id", "version", "refs", "tags"
+    )
+    way_del = _ids(b.filter((F.col("kind") == KIND_WAY) & (F.col("action") == "delete")))
+    rel_up = b.filter((F.col("kind") == KIND_REL) & (F.col("action") == "upsert")).select(
+        "id", "version", "members", "tags"
+    )
+    rel_del = _ids(b.filter((F.col("kind") == KIND_REL) & (F.col("action") == "delete")))
+
+    # -- 1. entity stores (order irrelevant between kinds; each atomic) ----
+    for path, up, dele, name in (
+        (nodes_store, node_up, node_del, "nodes"),
+        (ways_store, way_up, way_del, "ways"),
+        (rels_store, rel_up, rel_del, "relations"),
+    ):
+        if group in IcepickTable(path).committed_groups():
+            stats[name] = "replayed"
+            continue
+        stats[name] = ES.upsert_entities(spark, path, up, dele, group=group)
+
+    nodes = ES.read_entity_store(spark, nodes_store)
+    ways = ES.read_entity_store(spark, ways_store)
+
+    # -- 2/3. derived way-chunk table: blast radius re-resolve -------------
+    changed_nodes = node_up.select("id").unionAll(node_del).distinct()
+    # reverse index from the CURRENT ways store (J3); the diff side is
+    # small — broadcast it into the explode-join
+    ways_hit = (
+        ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
+        .join(F.broadcast(changed_nodes.withColumnRenamed("id", "node_id")), "node_id")
+        .select("way_id")
+    )
+    aff_way_ids = (
+        ways_hit.unionAll(way_up.select(F.col("id").alias("way_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if way_table is not None:
+        if group in IcepickTable(way_table).committed_groups():
+            stats["way_chunks"] = "replayed"
+        else:
+            # the store already holds the post-diff rows: the "diff" for the
+            # derived table is every affected way's CURRENT row
+            ways_diff = ways.join(
+                aff_way_ids.withColumnRenamed("way_id", "id"), "id", "semi"
+            )
+            stats["way_chunks"] = update.apply_way_diff(
+                spark, way_table, nodes, ways_diff, deleted_way_ids=way_del, group=group
+            )
+
+    # -- 4. derived multipolygon table: relation blast radius --------------
+    if rel_table is not None:
+        rels = ES.read_entity_store(spark, rels_store)
+        changed_ways = aff_way_ids.unionAll(
+            way_del.withColumnRenamed("id", "way_id")
+        ).distinct()
+        rel_hit = update.affected_relation_ids(rels, changed_ways)
+        aff_rel_ids = (
+            rel_hit.unionAll(rel_up.select(F.col("id").alias("relation_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if group in IcepickTable(rel_table).committed_groups():
+            stats["rel_chunks"] = "replayed"
+        else:
+            rels_diff = rels.join(
+                aff_rel_ids.withColumnRenamed("relation_id", "id"), "id", "semi"
+            )
+            # resolve ONLY the member ways of affected relations — the
+            # radius-proportional subset, with post-diff node geometry
+            member_ways = (
+                rels_diff.select(F.explode("members").alias("m"))
+                .filter(F.col("m.mtype") == 1)
+                .select(F.col("m.ref").alias("id"))
+                .distinct()
+            )
+            resolved = resolve.resolve_ways(
+                ways.join(member_ways, "id", "semi"), nodes
+            )
+            stats["rel_chunks"] = update.apply_relation_diff(
+                spark,
+                rel_table,
+                rels_diff,
+                resolved,
+                deleted_relation_ids=rel_del,
+                group=group,
+            )
+    return stats
+
+
+def stream_apply_diffs(
+    diffs_stream: DataFrame,
+    nodes_store: str,
+    ways_store: str,
+    rels_store: str,
+    way_table: str | None,
+    rel_table: str | None,
+    checkpoint_dir: str,
+):
+    """Start the continuous update query. Each micro-batch is one diff
+    interval applied atomically-per-table with replay-safe skips."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_diff_batch(
+            batch_df.sparkSession,
+            batch_df,
+            nodes_store,
+            ways_store,
+            rels_store,
+            way_table,
+            rel_table,
+            group=f"diff-{batch_id}",
+        )
+
+    return (
+        diffs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

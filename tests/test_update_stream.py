@@ -1,0 +1,251 @@
+"""Continuous diff-apply (streaming/update_stream.py): minutely-diff
+batches must compose — batch N+1 re-resolves against stores that already
+contain batch N — and the final derived tables must equal a from-scratch
+rebuild with the final entity state under the same chunking contract.
+Exactly-once: replaying a batch (same group) is a per-table no-op."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from coords_spark.fixtures import gen_relations
+from coords_spark.operators import entity_store as ES
+from coords_spark.operators import geometry, resolve, tiling, update
+from coords_spark.sources.icepick import IcepickTable
+from coords_spark.streaming import update_stream as US
+
+NODE_BASE = 1_000_000
+
+
+def _world():
+    """Consistent mini OSM world: gen_relations' inline-pts ring ways are
+    exploded into real nodes + ref-ways, so the FULL resolve chain runs."""
+    relations_t, ring_ways_t = gen_relations(10)
+    nodes, ways = [], []
+    nid = NODE_BASE
+    for rw in ring_ways_t.to_pylist():
+        refs = []
+        for p in rw["pts"]:
+            nodes.append((nid, 1, p["lat"], p["lon"], {}))
+            refs.append(nid)
+            nid += 1
+        ways.append((rw["id"], 1, refs, {}))
+    rels = [
+        (r["id"], r["version"], [tuple(m.values()) for m in r["members"]], dict(r["tags"]))
+        for r in relations_t.to_pylist()
+    ]
+    return nodes, ways, rels
+
+
+def _mkdf(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+NODES_SCHEMA = "id long, version int, lat int, lon int, tags map<string,string>"
+WAYS_SCHEMA = "id long, version int, refs array<long>, tags map<string,string>"
+RELS_SCHEMA = (
+    "id long, version int, "
+    "members array<struct<mtype: tinyint, ref: long, role: string>>, "
+    "tags map<string,string>"
+)
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("updstream")
+    nodes_rows, ways_rows, rels_rows = _world()
+    nodes = _mkdf(spark, nodes_rows, NODES_SCHEMA).localCheckpoint()
+    ways = _mkdf(spark, ways_rows, WAYS_SCHEMA).localCheckpoint()
+    rels = _mkdf(spark, rels_rows, RELS_SCHEMA).localCheckpoint()
+
+    stores = {k: str(d / f"store_{k}") for k in ("nodes", "ways", "rels")}
+    # small id_shift -> several id-range chunks, so bounded rewrite is real
+    ES.build_entity_store(nodes, stores["nodes"], id_shift=6)
+    ES.build_entity_store(ways, stores["ways"], id_shift=4)
+    ES.build_entity_store(rels, stores["rels"], id_shift=2)
+
+    # derived way-chunk table
+    g = geometry.with_geometry_cell(
+        geometry.with_envelope(resolve.resolve_ways(ways, nodes))
+    ).withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
+    split = tiling.compute_split_set(
+        g, max_bytes=4 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+    )
+    way_table = str(d / "waychunks")
+    update.build_way_chunk_table(spark, nodes, ways, way_table, split)
+
+    # derived multipolygon table — resolved ways from the SAME chain the
+    # stream re-resolves with, so appended rewrites share the schema
+    rel_table = str(d / "relchunks")
+    update.build_relation_chunk_table(
+        spark, rels, resolve.resolve_ways(ways, nodes), rel_table, split
+    )
+    return d, stores, way_table, rel_table, nodes, ways, rels
+
+
+def _diff_rows(spark, rows):
+    return spark.createDataFrame(rows, US.DIFF_SCHEMA)
+
+
+def _final_entities(spark, world):
+    """Expected final entity state after both diff batches (see _batches)."""
+    _, _, _, _, nodes, ways, rels = world
+    b1, b2 = _batches(spark, world)
+    out = {}
+    for base, kind, schema, cols in (
+        (nodes, US.KIND_NODE, NODES_SCHEMA, ["id", "version", "lat", "lon", "tags"]),
+        (ways, US.KIND_WAY, WAYS_SCHEMA, ["id", "version", "refs", "tags"]),
+        (rels, US.KIND_REL, RELS_SCHEMA, ["id", "version", "members", "tags"]),
+    ):
+        cur = base
+        for b in (b1, b2):
+            up = b.filter((F.col("kind") == kind) & (F.col("action") == "upsert")).select(*cols)
+            dele = b.filter((F.col("kind") == kind) & (F.col("action") == "delete")).select("id")
+            cur = (
+                cur.join(
+                    up.select("id").unionAll(dele).distinct(), "id", "left_anti"
+                ).unionAll(spark.createDataFrame(up.collect(), schema))
+            )
+        out[kind] = cur.localCheckpoint()
+    return out
+
+
+def _batches(spark, world):
+    _, _, _, _, nodes, ways, rels = world
+    first_way = ways.orderBy("id").first()
+    move_node_1 = first_way["refs"][1]
+    move_row_1 = nodes.filter(F.col("id") == move_node_1).first()
+    second_way = ways.orderBy("id").collect()[1]
+    new_node, new_way = NODE_BASE + 900_000, 777_777
+
+    batch1 = _diff_rows(
+        spark,
+        [
+            # move a ring vertex: way + its relation must re-chunk
+            (US.KIND_NODE, "upsert", move_node_1, 2,
+             move_row_1["lat"] + 40_000, move_row_1["lon"] + 40_000,
+             None, None, None),
+            # brand-new standalone node + way referencing existing nodes
+            (US.KIND_NODE, "upsert", new_node, 1,
+             move_row_1["lat"], move_row_1["lon"] - 200_000, None, None, None),
+            (US.KIND_WAY, "upsert", new_way, 1, None, None,
+             [first_way["refs"][0], new_node], None, {"highway": "path"}),
+        ],
+    )
+    # batch 2 composes on batch 1: moves the SAME node again (the stream
+    # must read batch-1 state, not the base table), deletes a member way
+    # and a whole relation
+    del_way = second_way["id"]
+    del_rel = rels.orderBy("id").first()["id"]
+    batch2 = _diff_rows(
+        spark,
+        [
+            (US.KIND_NODE, "upsert", move_node_1, 3,
+             move_row_1["lat"] + 80_000, move_row_1["lon"] + 80_000,
+             None, None, None),
+            (US.KIND_WAY, "delete", del_way, 2, None, None, None, None, None),
+            (US.KIND_REL, "delete", del_rel, 2, None, None, None, None, None),
+        ],
+    )
+    return batch1, batch2
+
+
+def _table_rows(spark, path, cols):
+    t = IcepickTable(path)
+    paths = t.data_paths()
+    if not paths:
+        return []
+    return sorted(
+        tuple(r) for r in spark.read.parquet(*paths).selectExpr(*cols).collect()
+    )
+
+
+WAY_COLS = ["way_id", "chunk_id", "to_json(pts) as p"]
+REL_COLS = ["relation_id", "poly_idx", "chunk_id", "to_json(outer) as o", "to_json(inners) as i"]
+
+
+def test_stream_applies_and_composes(spark, world, tmp_path):
+    d, stores, way_table, rel_table, nodes, ways, rels = world
+    b1, b2 = _batches(spark, world)
+    diff_dir = str(tmp_path / "diffs")
+    os.makedirs(diff_dir)
+    # one parquet FILE per replication interval, ordered by mtime (the
+    # file source's pickup order with maxFilesPerTrigger=1)
+    import glob
+    import shutil
+
+    for i, b in enumerate((b1, b2)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(diff_dir, f"batch-{i:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    q = US.stream_apply_diffs(
+        US.stream_diffs_from_dir(spark, diff_dir),
+        stores["nodes"], stores["ways"], stores["rels"],
+        way_table, rel_table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    fin = _final_entities(spark, world)
+    # stores hold exactly the final entity state
+    for kind, store, key_cols in (
+        (US.KIND_NODE, stores["nodes"], ["id", "version", "lat", "lon"]),
+        (US.KIND_WAY, stores["ways"], ["id", "version", "to_json(refs) as r"]),
+        (US.KIND_REL, stores["rels"], ["id", "version", "to_json(members) as m"]),
+    ):
+        got = sorted(tuple(r) for r in ES.read_entity_store(spark, store).selectExpr(*key_cols).collect())
+        want = sorted(tuple(r) for r in fin[kind].selectExpr(*key_cols).collect())
+        assert got == want, f"store {store} diverged"
+
+    # derived tables equal a from-scratch rebuild with final entities under
+    # the SAME chunking contract (split sidecar)
+    split, bl = update.load_split_set(way_table)
+    scratch_way = str(tmp_path / "scratch_way")
+    update.build_way_chunk_table(
+        spark, fin[US.KIND_NODE], fin[US.KIND_WAY], scratch_way, split, base_level=bl
+    )
+    assert _table_rows(spark, way_table, WAY_COLS) == _table_rows(spark, scratch_way, WAY_COLS)
+
+    split_r, bl_r = update.load_split_set(rel_table)
+    scratch_rel = str(tmp_path / "scratch_rel")
+    update.build_relation_chunk_table(
+        spark,
+        fin[US.KIND_REL],
+        resolve.resolve_ways(fin[US.KIND_WAY], fin[US.KIND_NODE]),
+        scratch_rel,
+        split_r,
+        base_level=bl_r,
+    )
+    assert _table_rows(spark, rel_table, REL_COLS) == _table_rows(spark, scratch_rel, REL_COLS)
+
+    # exactly-once: a fresh stream over the same checkpoint re-lists both
+    # batches as already processed — zero new table versions anywhere
+    versions = {
+        p: IcepickTable(p).current_manifest()["version"]
+        for p in (*stores.values(), way_table, rel_table)
+    }
+    q2 = US.stream_apply_diffs(
+        US.stream_diffs_from_dir(spark, diff_dir + "/*"),
+        stores["nodes"], stores["ways"], stores["rels"],
+        way_table, rel_table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    for p, v in versions.items():
+        assert IcepickTable(p).current_manifest()["version"] == v
+
+    # direct replay of a single batch (same group) is a per-table no-op
+    stats = US.apply_diff_batch(
+        spark, b1, stores["nodes"], stores["ways"], stores["rels"],
+        way_table, rel_table, group="diff-0",
+    )
+    assert stats["nodes"] == "replayed" and stats["way_chunks"] == "replayed"
+    for p, v in versions.items():
+        assert IcepickTable(p).current_manifest()["version"] == v
