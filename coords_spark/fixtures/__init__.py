@@ -12,6 +12,8 @@ from coords_spark.fixtures.generate import (  # noqa: F401
     gen_nodes,
     gen_points,
     gen_relations,
+    gen_update_diffs,
+    gen_update_world,
     gen_ways,
     write_fixtures,
 )

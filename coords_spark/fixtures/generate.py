@@ -307,6 +307,64 @@ def gen_relations(n: int) -> tuple[pa.Table, pa.Table]:
     return relations, ring_ways
 
 
+UPDATE_WORLD_NODE_BASE = 1_000_000
+
+
+def gen_update_world(n_rel: int = 10, node_base: int = UPDATE_WORLD_NODE_BASE):
+    """Mini OSM world for the continuous-update family: gen_relations'
+    inline-pts ring ways exploded into REAL nodes + ref-ways so the full
+    resolve chain runs. Returns plain-Python row lists
+
+        nodes: (id, version, lat, lon, tags)
+        ways:  (id, version, refs, tags)
+        rels:  (id, version, members[(mtype, ref, role)], tags)
+
+    shared verbatim by the pytest, the driver query AND the golden twin —
+    the INPUT is shared, the diff-apply computation is implemented
+    independently on each side."""
+    relations_t, ring_ways_t = gen_relations(n_rel)
+    nodes, ways = [], []
+    nid = node_base
+    for rw in ring_ways_t.to_pylist():
+        refs = []
+        for p in rw["pts"]:
+            nodes.append((nid, 1, p["lat"], p["lon"], {}))
+            refs.append(nid)
+            nid += 1
+        ways.append((rw["id"], 1, refs, {}))
+    rels = [
+        (r["id"], r["version"], [tuple(m.values()) for m in r["members"]], dict(r["tags"]))
+        for r in relations_t.to_pylist()
+    ]
+    return nodes, ways, rels
+
+
+def gen_update_diffs(nodes, ways, rels, node_base: int = UPDATE_WORLD_NODE_BASE):
+    """Two COMPOSED diff batches over gen_update_world (rows in
+    update_stream.DIFF_SCHEMA order: kind, action, id, version, lat, lon,
+    refs, members, tags). Batch 1: move a ring vertex (way + relation must
+    re-chunk), add a brand-new node and a way referencing it. Batch 2
+    depends on batch-1 state: moves the SAME node again, deletes a member
+    way and a whole relation."""
+    ws = sorted(ways)
+    first_way, second_way = ws[0], ws[1]
+    move_node = first_way[2][1]
+    mrow = next(n for n in nodes if n[0] == move_node)
+    new_node, new_way = node_base + 900_000, 777_777
+    batch1 = [
+        (0, "upsert", move_node, 2, mrow[2] + 40_000, mrow[3] + 40_000, None, None, None),
+        (0, "upsert", new_node, 1, mrow[2], mrow[3] - 200_000, None, None, None),
+        (1, "upsert", new_way, 1, None, None,
+         [first_way[2][0], new_node], None, {"highway": "path"}),
+    ]
+    batch2 = [
+        (0, "upsert", move_node, 3, mrow[2] + 80_000, mrow[3] + 80_000, None, None, None),
+        (1, "delete", second_way[0], 2, None, None, None, None, None),
+        (2, "delete", min(r[0] for r in rels), 2, None, None, None, None, None),
+    ]
+    return batch1, batch2
+
+
 # --------------------------------------------------------------------------
 # admin polygons + coastline (FIXTURES.md §3)
 # --------------------------------------------------------------------------

@@ -1,0 +1,165 @@
+"""Raster tile render (SURVEY.md §3 E3 last mile, §2.8 image fns × S5).
+
+The reference's render read path ends at "deserialize -> bbox filter ->
+render", with pixel output delegated to a companion Mapnik plugin [M] and
+correctness checked VISUALLY (SURVEY §5.3). This operator makes that check
+computable and distributed: viewport -> pruned chunk read (S5) -> way
+polylines -> per-tile deterministic uint8 masks, encoded with the house
+codec (kernels/codec.py).
+
+Plan shape (the 100 TB posture):
+  1. `ingest.render_read` prunes to the viewport BEFORE any Python runs
+     (manifest multi-range + row-group + exact bbox predicate);
+  2. ONE Arrow exchange projects pts -> global pixel coords at the target
+     zoom (vectorized mercator, only the pts column ships);
+  3. segment + tile fan-out is pure JVM (inline explode of transform/
+     sequence — generators stay fused with their explode, CLAUDE.md);
+  4. ONE shuffle keyed by (tile_x, tile_y) — bounded by the viewport's
+     tile count, never by table size;
+  5. rasterize+encode runs where the groups land; payload bytes are
+     PRODUCED worker-side and never round-trip.
+
+Ways shorter than 2 vertices emit no segments (nothing to draw).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coords_spark.kernels import codec, mercator, raster
+from coords_spark.operators import ingest, tiling
+
+
+def bbox_tile_range(bbox, zoom: int, tile_px: int = 256) -> tuple[int, int, int, int]:
+    """(tx0, tx1, ty0, ty1) inclusive tile index ranges covering the
+    fixed-point bbox (lat0, lon0, lat1, lon1) at `zoom`. Mercator y grows
+    SOUTH, so the lat order flips into the ty order."""
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tile_px << zoom
+    ux, uy = mercator.latlon_i32_to_unit(
+        np.array([lat0, lat1]), np.array([lon0, lon1])
+    )
+    gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
+    gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
+    tx0, tx1 = sorted((int(gx[0]) // tile_px, int(gx[1]) // tile_px))
+    ty0, ty1 = sorted((int(gy[0]) // tile_px, int(gy[1]) // tile_px))
+    return tx0, tx1, ty0, ty1
+
+
+def _list_offsets(arr: pa.Array) -> np.ndarray:
+    lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+    return np.concatenate(([0], np.cumsum(lens)))
+
+
+def render_tile_images(
+    spark,
+    table_path: str,
+    bbox,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+) -> DataFrame:
+    """One row per viewport tile: (tile_x, tile_y, n_ways, n_px, px_crc,
+    payload). px_crc is zlib.crc32 of the raw mask bytes (the golden-twin
+    handle); payload is the mask encoded as `fmt` via kernels/codec."""
+    scale = tile_px << zoom
+
+    @F.arrow_udf("array<struct<gx: bigint, gy: bigint>>")
+    def _pix(pts: pa.Array) -> pa.Array:
+        if isinstance(pts, pa.ChunkedArray):
+            pts = pts.combine_chunks()
+        offs = _list_offsets(pts)
+        flat = pts.flatten()
+        lat = flat.field("lat").to_numpy(zero_copy_only=False)
+        lon = flat.field("lon").to_numpy(zero_copy_only=False)
+        ux, uy = mercator.latlon_i32_to_unit(lat, lon)
+        gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
+        gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
+        vals = pa.StructArray.from_arrays(
+            [pa.array(gx, pa.int64()), pa.array(gy, pa.int64())], names=["gx", "gy"]
+        )
+        return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    tp = tile_px
+    ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
+    seg = (
+        ways.select("way_id", _pix(F.col("pts")).alias("gp"))
+        .select(
+            "way_id",
+            F.expr(
+                "explode(transform(slice(gp, 1, size(gp)-1), (p, i) -> "
+                "struct(p.gx AS x0, p.gy AS y0, gp[i+1].gx AS x1, gp[i+1].gy AS y1))) AS s"
+            ),
+        )
+        .select("way_id", "s.*")
+    )
+    tiles = (
+        seg.select(
+            "way_id",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            F.expr(
+                f"explode(flatten(transform("
+                f"sequence(least(x0, x1) div {tp}, greatest(x0, x1) div {tp}), "
+                f"tx -> transform(sequence(least(y0, y1) div {tp}, greatest(y0, y1) div {tp}), "
+                f"ty -> struct(tx AS tx, ty AS ty))))) AS t"
+            ),
+        )
+        .select("way_id", "t.tx", "t.ty", "x0", "y0", "x1", "y1")
+        .filter(f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}")
+    )
+    grouped = tiles.groupBy("tx", "ty").agg(
+        F.count_distinct("way_id").alias("n_ways"),
+        F.collect_list(
+            F.struct(
+                (F.col("x0") - F.col("tx") * tp).alias("x0"),
+                (F.col("y0") - F.col("ty") * tp).alias("y0"),
+                (F.col("x1") - F.col("tx") * tp).alias("x1"),
+                (F.col("y1") - F.col("ty") * tp).alias("y1"),
+            )
+        ).alias("segs"),
+    )
+
+    @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
+    def _raster(segs: pa.Array) -> pa.Array:
+        import zlib
+
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offs = _list_offsets(segs)
+        flat = segs.flatten()
+        x0 = flat.field("x0").to_numpy(zero_copy_only=False)
+        y0 = flat.field("y0").to_numpy(zero_copy_only=False)
+        x1 = flat.field("x1").to_numpy(zero_copy_only=False)
+        y1 = flat.field("y1").to_numpy(zero_copy_only=False)
+        n_px, crcs, payloads = [], [], []
+        for i in range(len(offs) - 1):
+            sl = slice(offs[i], offs[i + 1])
+            img = raster.rasterize_segments(x0[sl], y0[sl], x1[sl], y1[sl], tp, tp)
+            n_px.append(int(np.count_nonzero(img)))
+            crcs.append(zlib.crc32(img.tobytes()))
+            payloads.append(
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+            )
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(n_px, pa.int64()),
+                pa.array(crcs, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["n_px", "px_crc", "payload"],
+        )
+
+    return grouped.select(
+        F.col("tx").cast("long").alias("tile_x"),
+        F.col("ty").cast("long").alias("tile_y"),
+        F.col("n_ways").cast("long").alias("n_ways"),
+        _raster(F.col("segs")).alias("r"),
+    ).select("tile_x", "tile_y", "n_ways", "r.n_px", "r.px_crc", "r.payload")

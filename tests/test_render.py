@@ -1,0 +1,122 @@
+"""Raster tile render: the vectorized kernel must match the per-sample
+scalar statement of the pixel rule exactly; the Spark operator must match
+an independently composed per-tile reference (transform -> tile fan-out ->
+scalar rasterize) on a real chunk table, and its payloads must decode back
+to the very mask the stats describe."""
+
+import zlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from coords_spark.kernels import codec, mercator, raster
+
+
+def _dense_segments(n: int, lo: int = -40, span: int = 340):
+    k = np.arange(n, dtype=np.int64)
+    x0 = (k * 37 + 11) % span + lo
+    y0 = (k * 53 + 7) % span + lo
+    x1 = (k * 71 + 3) % span + lo
+    y1 = (k * 29 + 19) % span + lo
+    return x0, y0, x1, y1
+
+
+def test_kernel_matches_scalar():
+    x0, y0, x1, y1 = _dense_segments(200)
+    a = raster.rasterize_segments(x0, y0, x1, y1, 256, 256)
+    b = raster.rasterize_segments_scalar(x0, y0, x1, y1, 256, 256)
+    assert np.array_equal(a, b)
+    assert a.sum() > 0  # the case is non-trivial
+
+
+def test_kernel_edges():
+    empty = raster.rasterize_segments([], [], [], [], 16, 16)
+    assert empty.shape == (16, 16) and empty.sum() == 0
+    # zero-length segment = one pixel
+    one = raster.rasterize_segments([3], [5], [3], [5], 16, 16)
+    assert one[5, 3] == 255 and np.count_nonzero(one) == 1
+    # fully outside -> clipped to nothing
+    out = raster.rasterize_segments([-9, 20], [-9, 20], [-5, 30], [-5, 30], 16, 16)
+    assert out.sum() == 0
+    # horizontal line covers every column it crosses
+    h = raster.rasterize_segments([0], [2], [15], [2], 16, 16)
+    assert np.count_nonzero(h) == 16 and h[2].sum() == 16 * 255
+
+
+def _expected_tiles(resolved_rows, bbox, zoom, tile_px):
+    """Independent per-tile reference: anchor filter -> pixel transform ->
+    segment tile fan-out -> scalar rasterize (mirrors the golden twin)."""
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tile_px << zoom
+    from coords_spark.operators.render import bbox_tile_range
+
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    tiles = {}
+    for way_id, pts in resolved_rows:
+        ll = [(p["lat"], p["lon"]) for p in pts]
+        alat, alon = ll[0]
+        if not (lat0 <= alat <= lat1 and lon0 <= alon <= lon1):
+            continue
+        ux, uy = mercator.latlon_i32_to_unit(
+            np.array([p[0] for p in ll]), np.array([p[1] for p in ll])
+        )
+        gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
+        gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
+        for i in range(len(gx) - 1):
+            a, b, c, d = int(gx[i]), int(gy[i]), int(gx[i + 1]), int(gy[i + 1])
+            for tx in range(min(a, c) // tile_px, max(a, c) // tile_px + 1):
+                for ty in range(min(b, d) // tile_px, max(b, d) // tile_px + 1):
+                    if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                        continue
+                    t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
+                    t["ways"].add(way_id)
+                    t["segs"].append(
+                        (a - tx * tile_px, b - ty * tile_px,
+                         c - tx * tile_px, d - ty * tile_px)
+                    )
+    out = {}
+    for key, t in tiles.items():
+        segs = t["segs"]
+        img = raster.rasterize_segments_scalar(
+            [s[0] for s in segs], [s[1] for s in segs],
+            [s[2] for s in segs], [s[3] for s in segs], tile_px, tile_px
+        )
+        out[key] = (len(t["ways"]), int(np.count_nonzero(img)),
+                    zlib.crc32(img.tobytes()), img)
+    return out
+
+
+def test_render_tiles_end_to_end(spark, tmp_path):
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, render, resolve, tiling
+
+    nodes = spark.createDataFrame(gen_nodes(2000).to_pandas())
+    ways = spark.createDataFrame(gen_ways(300, 2000).to_pandas())
+    resolved = resolve.resolve_ways(ways, nodes)
+    g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+        "nbytes", (F.size("pts") * 8 + 64).cast("long")
+    )
+    split = tiling.compute_split_set(g, max_bytes=64 * 1024)
+    chunked = tiling.with_chunk(g, split)
+    rows = chunked.select(
+        "way_id", "cell", "chunk_id", "pts",
+        F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
+    )
+    path = str(tmp_path / "tiles")
+    tiling.materialize_chunk_table(rows, path, key_col="way_id")
+
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, tile_px = 8, 256
+    got = render.render_tile_images(spark, path, bbox, zoom, tile_px).collect()
+
+    want = _expected_tiles(
+        [(r["way_id"], r["pts"]) for r in resolved.collect()], bbox, zoom, tile_px
+    )
+    assert len(got) == len(want) > 0
+    for r in got:
+        n_ways, n_px, crc, img = want[(r["tile_x"], r["tile_y"])]
+        assert (r["n_ways"], r["n_px"], r["px_crc"]) == (n_ways, n_px, crc)
+        # payload decodes back to the exact mask (RGB-stacked, lossless fmt)
+        dec = codec.decode_image(bytes(r["payload"]), "pngz", tile_px, tile_px)
+        assert np.array_equal(dec[:, :, 0], img)
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 1])

@@ -9,33 +9,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from coords_spark.fixtures import gen_relations
+from coords_spark.fixtures import gen_update_diffs, gen_update_world
 from coords_spark.operators import entity_store as ES
 from coords_spark.operators import geometry, resolve, tiling, update
 from coords_spark.sources.icepick import IcepickTable
 from coords_spark.streaming import update_stream as US
-
-NODE_BASE = 1_000_000
-
-
-def _world():
-    """Consistent mini OSM world: gen_relations' inline-pts ring ways are
-    exploded into real nodes + ref-ways, so the FULL resolve chain runs."""
-    relations_t, ring_ways_t = gen_relations(10)
-    nodes, ways = [], []
-    nid = NODE_BASE
-    for rw in ring_ways_t.to_pylist():
-        refs = []
-        for p in rw["pts"]:
-            nodes.append((nid, 1, p["lat"], p["lon"], {}))
-            refs.append(nid)
-            nid += 1
-        ways.append((rw["id"], 1, refs, {}))
-    rels = [
-        (r["id"], r["version"], [tuple(m.values()) for m in r["members"]], dict(r["tags"]))
-        for r in relations_t.to_pylist()
-    ]
-    return nodes, ways, rels
 
 
 def _mkdf(spark, rows, schema):
@@ -54,7 +32,7 @@ RELS_SCHEMA = (
 @pytest.fixture(scope="module")
 def world(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("updstream")
-    nodes_rows, ways_rows, rels_rows = _world()
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
     nodes = _mkdf(spark, nodes_rows, NODES_SCHEMA).localCheckpoint()
     ways = _mkdf(spark, ways_rows, WAYS_SCHEMA).localCheckpoint()
     rels = _mkdf(spark, rels_rows, RELS_SCHEMA).localCheckpoint()
@@ -112,43 +90,11 @@ def _final_entities(spark, world):
 
 
 def _batches(spark, world):
-    _, _, _, _, nodes, ways, rels = world
-    first_way = ways.orderBy("id").first()
-    move_node_1 = first_way["refs"][1]
-    move_row_1 = nodes.filter(F.col("id") == move_node_1).first()
-    second_way = ways.orderBy("id").collect()[1]
-    new_node, new_way = NODE_BASE + 900_000, 777_777
-
-    batch1 = _diff_rows(
-        spark,
-        [
-            # move a ring vertex: way + its relation must re-chunk
-            (US.KIND_NODE, "upsert", move_node_1, 2,
-             move_row_1["lat"] + 40_000, move_row_1["lon"] + 40_000,
-             None, None, None),
-            # brand-new standalone node + way referencing existing nodes
-            (US.KIND_NODE, "upsert", new_node, 1,
-             move_row_1["lat"], move_row_1["lon"] - 200_000, None, None, None),
-            (US.KIND_WAY, "upsert", new_way, 1, None, None,
-             [first_way["refs"][0], new_node], None, {"highway": "path"}),
-        ],
-    )
-    # batch 2 composes on batch 1: moves the SAME node again (the stream
-    # must read batch-1 state, not the base table), deletes a member way
-    # and a whole relation
-    del_way = second_way["id"]
-    del_rel = rels.orderBy("id").first()["id"]
-    batch2 = _diff_rows(
-        spark,
-        [
-            (US.KIND_NODE, "upsert", move_node_1, 3,
-             move_row_1["lat"] + 80_000, move_row_1["lon"] + 80_000,
-             None, None, None),
-            (US.KIND_WAY, "delete", del_way, 2, None, None, None, None, None),
-            (US.KIND_REL, "delete", del_rel, 2, None, None, None, None, None),
-        ],
-    )
-    return batch1, batch2
+    """The shared composed-diff fixture (gen_update_diffs) as DataFrames —
+    batch 2 depends on batch-1 state (same node moved again), plus a member
+    way delete and a relation delete."""
+    b1, b2 = gen_update_diffs(*gen_update_world(10))
+    return _diff_rows(spark, b1), _diff_rows(spark, b2)
 
 
 def _table_rows(spark, path, cols):

@@ -374,6 +374,178 @@ def g_icepick_compact_stats():
     ], rows, {}
 
 
+def g_update_stream_apply():
+    """Independent scalar twin of the continuous-update pipeline: apply
+    both composed diff batches as plain dict updates -> final entity
+    state; store rollups by id-range chunk (id >> shift, the
+    build_entity_store contract); derived way/polygon rollups by
+    re-resolving + re-assembling EVERYTHING from the final state and
+    chunking under the PRE-diff split (the sidecar contract). The engine
+    must reach the same end state by touching only blast-radius files."""
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
+    b1, b2 = gen_update_diffs(nodes_rows, ways_rows, rels_rows)
+
+    nodes = {r[0]: r for r in nodes_rows}  # id -> (id, ver, lat, lon, tags)
+    ways = {r[0]: r for r in ways_rows}  # id -> (id, ver, refs, tags)
+    rels = {r[0]: r for r in rels_rows}  # id -> (id, ver, members, tags)
+    for batch in (b1, b2):
+        for kind, action, eid, ver, lat, lon, refs, members, tags in batch:
+            store = (nodes, ways, rels)[kind]
+            if action == "delete":
+                store.pop(eid, None)
+            elif kind == 0:
+                store[eid] = (eid, ver, lat, lon, tags or {})
+            elif kind == 1:
+                store[eid] = (eid, ver, list(refs), tags or {})
+            else:
+                store[eid] = (eid, ver, list(members), tags or {})
+
+    rows = []
+    for layer, store, shift, a2 in (
+        ("nodes_store", nodes, 6, lambda r: r[2] + r[3]),
+        ("ways_store", ways, 4, lambda r: sum(r[2])),
+        ("rels_store", rels, 2, lambda r: len(r[2])),
+    ):
+        agg: dict[int, list[int]] = {}
+        for r in store.values():
+            g = agg.setdefault(r[0] >> shift, [0, 0, 0, 0])
+            g[0] += 1
+            g[1] += r[0]
+            g[2] += r[1]
+            g[3] += a2(r)
+        rows += [(layer, ch, *v) for ch, v in sorted(agg.items())]
+
+    latlon = lambda pts: [(la, lo) for _n, la, lo in pts]  # noqa: E731
+    resolved0 = mc.resolve_ways(
+        {r[0]: (r[2], r[3]) for r in nodes_rows}, [(r[0], list(r[2])) for r in ways_rows]
+    )
+    splits = mc.split_set(
+        [
+            (mc.way_envelope_cell(latlon(p)), len(p) * 8 + 64)
+            for p in resolved0.values()
+        ],
+        4 * 1024,
+        BASE_LEVEL,
+    )
+    resolved_f = mc.resolve_ways(
+        {r[0]: (r[2], r[3]) for r in nodes.values()},
+        [(r[0], list(r[2])) for r in ways.values()],
+    )
+    agg = {}
+    for wid, pts in sorted(resolved_f.items()):
+        ll = latlon(pts)
+        g = agg.setdefault(
+            mc.assign_chunk(mc.way_envelope_cell(ll), splits, BASE_LEVEL), [0, 0, 0, 0]
+        )
+        g[0] += 1
+        g[1] += wid
+        g[2] += len(ll)
+        g[3] += sum(la + lo for la, lo in ll)
+    rows += [("way_chunks", ch, *v) for ch, v in sorted(agg.items())]
+
+    way_pts = {wid: latlon(p) for wid, p in resolved_f.items()}
+    agg = {}
+    for rid, r in sorted(rels.items()):
+        arcs = [way_pts[m[1]] for m in r[2] if m[0] == 1 and m[1] in way_pts]
+        for outer, _holes in mc.oracle_build_polygons(arcs) if arcs else []:
+            g = agg.setdefault(
+                mc.assign_chunk(mc.way_envelope_cell(outer), splits, BASE_LEVEL),
+                [0, 0, 0, 0],
+            )
+            g[0] += 1
+            g[1] += rid
+            g[2] += len(outer)
+            g[3] += sum(la + lo for la, lo in outer)
+    rows += [("rel_chunks", ch, *v) for ch, v in sorted(agg.items())]
+    return ["layer", "chunk_id", "n", "id_sum", "a1", "a2"], sorted(rows), {
+        "layer": "VARCHAR"
+    }
+
+
+def g_osc_parse_rollup():
+    """Scalar twin of the osmChange parse rollup: same per-(kind, action)
+    aggregation computed from the fixture diff rows DIRECTLY — the
+    write_osc -> XML -> parse_osc_bytes layer in the engine query must be
+    transparent for every field."""
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+
+    b1, b2 = gen_update_diffs(*gen_update_world(10))
+    agg: dict[tuple, list[int]] = {}
+    for kind, action, eid, ver, lat, lon, refs, members, tags in b1 + b2:
+        g = agg.setdefault((kind, action), [0] * 7)
+        g[0] += 1
+        g[1] += eid
+        g[2] += ver
+        g[3] += (lat + lon) if lat is not None else 0
+        g[4] += sum(refs) if refs else 0
+        g[5] += sum(m[1] for m in members) if members else 0
+        g[6] += len(tags or {})
+    rows = [(k, a, *v) for (k, a), v in sorted(agg.items())]
+    return (
+        ["kind", "action", "n", "id_sum", "ver_sum", "coord_sum", "ref_sum",
+         "member_ref_sum", "n_tags"],
+        rows,
+        {"action": "VARCHAR"},
+    )
+
+
+def g_geo_render_raster():
+    """Independent scalar twin of the raster render query: anchor filter ->
+    mercator pixel transform -> segment tile fan-out -> per-sample integer
+    line walk (the pixel rule's THIRD copy — kernels/raster.py holds the
+    vectorized and scalar engine statements; this one re-derives every
+    pixel for the golden)."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, tp = 8, 256
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tp << zoom
+
+    def pix(lat, lon):
+        ux, uy = mc.mercator_unit(lat, lon)
+        return min(int(ux * scale), scale - 1), min(int(uy * scale), scale - 1)
+
+    # viewport tile range: the two bbox corners, lat-sorted into ty order
+    cx0, cy0 = pix(lat0, lon0)
+    cx1, cy1 = pix(lat1, lon1)
+    tx0, tx1 = sorted((cx0 // tp, cx1 // tp))
+    ty0, ty1 = sorted((cy0 // tp, cy1 // tp))
+
+    tiles: dict[tuple[int, int], dict] = {}
+    for wid, pts in _resolved_ways().items():
+        ll = [(la, lo) for _nid, la, lo in pts]
+        alat, alon = ll[0]
+        if not (lat0 <= alat <= lat1 and lon0 <= alon <= lon1):
+            continue
+        g = [pix(la, lo) for la, lo in ll]
+        for (x0, y0), (x1, y1) in zip(g, g[1:]):
+            for tx in range(min(x0, x1) // tp, max(x0, x1) // tp + 1):
+                for ty in range(min(y0, y1) // tp, max(y0, y1) // tp + 1):
+                    if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                        continue
+                    t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
+                    t["ways"].add(wid)
+                    t["segs"].append(
+                        (x0 - tx * tp, y0 - ty * tp, x1 - tx * tp, y1 - ty * tp)
+                    )
+    rows = []
+    for (tx, ty), t in sorted(tiles.items()):
+        img = np.zeros((tp, tp), np.uint8)
+        for a, b, c, d in t["segs"]:
+            n = max(abs(c - a), abs(d - b)) + 1
+            for k in range(n):
+                px = a + ((c - a) * k) // max(n - 1, 1)
+                py = b + ((d - b) * k) // max(n - 1, 1)
+                if 0 <= px < tp and 0 <= py < tp:
+                    img[py, px] = 255
+        rows.append(
+            (tx, ty, len(t["ways"]), int(np.count_nonzero(img)),
+             zlib.crc32(img.tobytes()))
+        )
+    return ["tile_x", "tile_y", "n_ways", "n_px", "px_crc"], rows, {}
+
+
 def g_geo_multipolygon_assembly():
     from coords_spark.fixtures import gen_relations
 
@@ -983,6 +1155,9 @@ GENERATORS = {
     "relation_diff_apply": g_relation_diff_apply,
     "pbf_create_tiles_stats": g_pbf_create_tiles_stats,
     "icepick_compact_stats": g_icepick_compact_stats,
+    "update_stream_apply": g_update_stream_apply,
+    "geo_render_raster": g_geo_render_raster,
+    "osc_parse_rollup": g_osc_parse_rollup,
     # E1-from-real-pbf lands on the SAME scalar rows as the way-tiling twin
     # (identical fixture + chunk rules; the pbf codec and icepick roundtrip
     # must be transparent)
