@@ -2195,8 +2195,8 @@ def geo_render_raster(spark, sf):
 
     tmp = tempfile.mkdtemp(prefix="render_raster_")
     try:
-        nodes = spark.createDataFrame(gen_nodes(4000).to_pandas())
-        ways = spark.createDataFrame(gen_ways(600, 4000).to_pandas())
+        nodes = spark.createDataFrame(gen_nodes(4000))
+        ways = spark.createDataFrame(gen_ways(600, 4000))
         resolved = resolve.resolve_ways(ways, nodes)
         g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
             "nbytes", (F.size("pts") * 8 + 64).cast("long")

@@ -163,3 +163,112 @@ def render_tile_images(
         F.col("n_ways").cast("long").alias("n_ways"),
         _raster(F.col("segs")).alias("r"),
     ).select("tile_x", "tile_y", "n_ways", "r.n_px", "r.px_crc", "r.payload")
+
+
+def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> DataFrame:
+    """ONE zoom step of the raster tile pyramid: zoom-z tiles
+    (tile_x, tile_y, payload) -> zoom-(z-1) tiles. The standard map-tile
+    rollup: each parent mosaics its <=4 children (child (tx, ty) lands in
+    quadrant (tx & 1, ty & 1) of parent (tx div 2, ty div 2)) and
+    downsamples 2x by per-block MAX — masks are 0/255 so max-pool == OR,
+    a thin line stays visible at every level (mean-pooling would fade it
+    below any threshold after a few levels). Missing children are empty.
+
+    100 TB posture: ONE shuffle keyed by parent tile with a hard fan-in of
+    4 (never data-sized); decode/pool/encode runs where the groups land;
+    building z-1 from z touches only tile payloads, never source geometry
+    — at planet scale each level is materialized to the tile sink and the
+    next level reads it, so the full pyramid is sum-of-levels cost
+    (geometric series, ~1.33x the base zoom)."""
+    tp = tile_px
+
+    @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
+    def _pool(children: pa.Array) -> pa.Array:
+        import zlib
+
+        if isinstance(children, pa.ChunkedArray):
+            children = children.combine_chunks()
+        n_px, crcs, payloads = [], [], []
+        for group in children.to_pylist():
+            mosaic = np.zeros((2 * tp, 2 * tp), np.uint8)
+            for ch in group:
+                img = codec.decode_image(bytes(ch["payload"]), fmt, tp, tp)
+                qy, qx = int(ch["qy"]) * tp, int(ch["qx"]) * tp
+                mosaic[qy : qy + tp, qx : qx + tp] = img[:, :, 0]
+            pooled = mosaic.reshape(tp, 2, tp, 2).max(axis=(1, 3))
+            n_px.append(int(np.count_nonzero(pooled)))
+            crcs.append(zlib.crc32(pooled.tobytes()))
+            payloads.append(
+                codec.encode_image(np.repeat(pooled[:, :, None], 3, axis=2), fmt)
+            )
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(n_px, pa.int64()),
+                pa.array(crcs, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["n_px", "px_crc", "payload"],
+        )
+
+    return (
+        tiles.select(
+            F.expr("tile_x div 2").alias("ptx"),
+            F.expr("tile_y div 2").alias("pty"),
+            F.struct(
+                (F.col("tile_x") % 2).alias("qx"),
+                (F.col("tile_y") % 2).alias("qy"),
+                F.col("payload"),
+            ).alias("child"),
+        )
+        .groupBy("ptx", "pty")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.collect_list("child").alias("children"),
+        )
+        .select(
+            F.col("ptx").cast("long").alias("tile_x"),
+            F.col("pty").cast("long").alias("tile_y"),
+            F.col("n_children").cast("long").alias("n_children"),
+            _pool(F.col("children")).alias("r"),
+        )
+        .select("tile_x", "tile_y", "n_children", "r.n_px", "r.px_crc", "r.payload")
+    )
+
+
+def render_tile_pyramid(
+    spark,
+    table_path: str,
+    bbox,
+    zoom: int,
+    min_zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+) -> DataFrame:
+    """Full raster pyramid for a viewport: render the base zoom from
+    geometry (render_tile_images), then overzoom level by level down to
+    `min_zoom`. One row per (zoom, tile): zoom, tile_x, tile_y, n_src
+    (ways at the base zoom, children above), n_px, px_crc, payload.
+    Each level is materialized (localCheckpoint — viewport-bounded tile
+    count) before feeding the next, mirroring the write-z/read-z-minus-1
+    shape a planet-scale pipeline uses against the tile sink."""
+    base = (
+        render_tile_images(spark, table_path, bbox, zoom, tile_px, base_level, fmt)
+        .withColumnRenamed("n_ways", "n_src")
+        .withColumn("zoom", F.lit(zoom).cast("long"))
+        .localCheckpoint()
+    )
+    levels = [base]
+    cur = base
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        cur = (
+            overzoom_tiles(cur.select("tile_x", "tile_y", "payload"), tile_px, fmt)
+            .withColumnRenamed("n_children", "n_src")
+            .withColumn("zoom", F.lit(z).cast("long"))
+            .localCheckpoint()
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")

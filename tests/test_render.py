@@ -86,12 +86,17 @@ def _expected_tiles(resolved_rows, bbox, zoom, tile_px):
     return out
 
 
-def test_render_tiles_end_to_end(spark, tmp_path):
-    from coords_spark.fixtures import gen_nodes, gen_ways
-    from coords_spark.operators import geometry, render, resolve, tiling
+import pytest
 
-    nodes = spark.createDataFrame(gen_nodes(2000).to_pandas())
-    ways = spark.createDataFrame(gen_ways(300, 2000).to_pandas())
+
+@pytest.fixture(scope="module")
+def chunk_table(spark, tmp_path_factory):
+    """Shared chunk table + scalar-resolved rows for the render tests."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, resolve, tiling
+
+    nodes = spark.createDataFrame(gen_nodes(2000))
+    ways = spark.createDataFrame(gen_ways(300, 2000))
     resolved = resolve.resolve_ways(ways, nodes)
     g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
         "nbytes", (F.size("pts") * 8 + 64).cast("long")
@@ -102,16 +107,21 @@ def test_render_tiles_end_to_end(spark, tmp_path):
         "way_id", "cell", "chunk_id", "pts",
         F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
     )
-    path = str(tmp_path / "tiles")
+    path = str(tmp_path_factory.mktemp("render") / "tiles")
     tiling.materialize_chunk_table(rows, path, key_col="way_id")
+    resolved_rows = [(r["way_id"], r["pts"]) for r in resolved.collect()]
+    return path, resolved_rows
 
+
+def test_render_tiles_end_to_end(spark, chunk_table):
+    from coords_spark.operators import render
+
+    path, resolved_rows = chunk_table
     bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
     zoom, tile_px = 8, 256
     got = render.render_tile_images(spark, path, bbox, zoom, tile_px).collect()
 
-    want = _expected_tiles(
-        [(r["way_id"], r["pts"]) for r in resolved.collect()], bbox, zoom, tile_px
-    )
+    want = _expected_tiles(resolved_rows, bbox, zoom, tile_px)
     assert len(got) == len(want) > 0
     for r in got:
         n_ways, n_px, crc, img = want[(r["tile_x"], r["tile_y"])]
@@ -120,3 +130,96 @@ def test_render_tiles_end_to_end(spark, tmp_path):
         dec = codec.decode_image(bytes(r["payload"]), "pngz", tile_px, tile_px)
         assert np.array_equal(dec[:, :, 0], img)
         assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+
+
+def _pool2x_scalar(mosaic: np.ndarray, tp: int) -> np.ndarray:
+    """Per-pixel statement of the overzoom rule (independent of the
+    operator's reshape/max trick)."""
+    out = np.zeros((tp, tp), np.uint8)
+    for yy in range(tp):
+        for xx in range(tp):
+            out[yy, xx] = max(
+                mosaic[2 * yy, 2 * xx], mosaic[2 * yy, 2 * xx + 1],
+                mosaic[2 * yy + 1, 2 * xx], mosaic[2 * yy + 1, 2 * xx + 1],
+            )
+    return out
+
+
+def test_overzoom_rule(spark):
+    """Four hand-built children -> one parent; mask == scalar max-pool of
+    the quadrant mosaic, and missing-children parents pool against zeros."""
+    import zlib
+
+    from coords_spark.operators import render
+
+    tp = 16
+    imgs = {}
+    for tx, ty in [(10, 6), (11, 6), (10, 7)]:  # quadrant (11,7) missing
+        m = np.zeros((tp, tp), np.uint8)
+        m[(tx + ty) % tp, :] = 255
+        m[:, (tx * 3 + ty) % tp] = 255
+        imgs[(tx, ty)] = m
+    rows = [
+        (tx, ty, bytearray(codec.encode_image(np.repeat(m[:, :, None], 3, 2), "pngz")))
+        for (tx, ty), m in imgs.items()
+    ] + [(40, 41, bytearray(codec.encode_image(np.zeros((tp, tp, 3), np.uint8), "pngz")))]
+    tiles = spark.createDataFrame(rows, "tile_x long, tile_y long, payload binary")
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.overzoom_tiles(tiles, tile_px=tp).collect()
+    }
+    assert set(got) == {(5, 3), (20, 20)}
+    mosaic = np.zeros((2 * tp, 2 * tp), np.uint8)
+    for (tx, ty), m in imgs.items():
+        mosaic[(ty % 2) * tp : (ty % 2 + 1) * tp, (tx % 2) * tp : (tx % 2 + 1) * tp] = m
+    want = _pool2x_scalar(mosaic, tp)
+    r = got[(5, 3)]
+    assert r["n_children"] == 3
+    assert r["n_px"] == int(np.count_nonzero(want))
+    assert r["px_crc"] == zlib.crc32(want.tobytes())
+    dec = codec.decode_image(bytes(r["payload"]), "pngz", tp, tp)
+    assert np.array_equal(dec[:, :, 0], want)
+    assert got[(20, 20)]["n_px"] == 0 and got[(20, 20)]["n_children"] == 1
+
+
+def test_render_pyramid_end_to_end(spark, chunk_table):
+    """Pyramid levels: base == render_tile_images; every parent mask ==
+    scalar max-pool of its decoded children, level by level."""
+    import zlib
+
+    from coords_spark.operators import render
+
+    path, resolved_rows = chunk_table
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, min_zoom, tp = 8, 6, 256
+    got = render.render_tile_pyramid(spark, path, bbox, zoom, min_zoom, tp).collect()
+    by_zoom: dict[int, dict] = {}
+    for r in got:
+        by_zoom.setdefault(r["zoom"], {})[(r["tile_x"], r["tile_y"])] = r
+    assert sorted(by_zoom) == [6, 7, 8]
+
+    base_want = _expected_tiles(resolved_rows, bbox, zoom, tp)
+    assert set(by_zoom[8]) == set(base_want)
+    for key, r in by_zoom[8].items():
+        assert (r["n_src"], r["n_px"], r["px_crc"]) == base_want[key][:3]
+
+    masks = {
+        key: codec.decode_image(bytes(r["payload"]), "pngz", tp, tp)[:, :, 0]
+        for key, r in by_zoom[8].items()
+    }
+    for z in (7, 6):
+        parents: dict[tuple, dict] = {}
+        for (tx, ty), m in masks.items():
+            p = parents.setdefault((tx // 2, ty // 2), {"n": 0, "mosaic": np.zeros((2 * tp, 2 * tp), np.uint8)})
+            p["n"] += 1
+            p["mosaic"][(ty % 2) * tp : (ty % 2 + 1) * tp, (tx % 2) * tp : (tx % 2 + 1) * tp] = m
+        assert set(by_zoom[z]) == set(parents)
+        next_masks = {}
+        for key, p in parents.items():
+            want = _pool2x_scalar(p["mosaic"], tp)
+            r = by_zoom[z][key]
+            assert r["n_src"] == p["n"]
+            assert r["n_px"] == int(np.count_nonzero(want))
+            assert r["px_crc"] == zlib.crc32(want.tobytes())
+            next_masks[key] = want
+        masks = next_masks
