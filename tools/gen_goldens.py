@@ -491,14 +491,12 @@ def g_osc_parse_rollup():
     )
 
 
-def g_geo_render_raster():
-    """Independent scalar twin of the raster render query: anchor filter ->
+def _scalar_base_tiles(bbox, zoom, tp):
+    """Scalar raster of the viewport at one zoom: anchor filter ->
     mercator pixel transform -> segment tile fan-out -> per-sample integer
     line walk (the pixel rule's THIRD copy — kernels/raster.py holds the
     vectorized and scalar engine statements; this one re-derives every
-    pixel for the golden)."""
-    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
-    zoom, tp = 8, 256
+    pixel for the goldens). Returns {(tx, ty): (way_id_set, mask)}."""
     lat0, lon0, lat1, lon1 = bbox
     scale = tp << zoom
 
@@ -529,7 +527,7 @@ def g_geo_render_raster():
                     t["segs"].append(
                         (x0 - tx * tp, y0 - ty * tp, x1 - tx * tp, y1 - ty * tp)
                     )
-    rows = []
+    out: dict[tuple[int, int], tuple[set, np.ndarray]] = {}
     for (tx, ty), t in sorted(tiles.items()):
         img = np.zeros((tp, tp), np.uint8)
         for a, b, c, d in t["segs"]:
@@ -539,11 +537,61 @@ def g_geo_render_raster():
                 py = b + ((d - b) * k) // max(n - 1, 1)
                 if 0 <= px < tp and 0 <= py < tp:
                     img[py, px] = 255
-        rows.append(
-            (tx, ty, len(t["ways"]), int(np.count_nonzero(img)),
-             zlib.crc32(img.tobytes()))
+        out[(tx, ty)] = (t["ways"], img)
+    return out
+
+
+def g_geo_render_raster():
+    """Golden twin of the single-zoom raster render query (scalar pixel
+    loop in _scalar_base_tiles)."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    tp = 256
+    rows = [
+        (tx, ty, len(ways), int(np.count_nonzero(img)), zlib.crc32(img.tobytes()))
+        for (tx, ty), (ways, img) in sorted(
+            _scalar_base_tiles(bbox, 8, tp).items()
         )
+    ]
     return ["tile_x", "tile_y", "n_ways", "n_px", "px_crc"], rows, {}
+
+
+def g_geo_render_pyramid(zoom: int = 8, min_zoom: int = 6):
+    """Golden twin of the raster pyramid: scalar base raster at `zoom`,
+    then per-level scalar 2x max-pool of each parent's quadrant mosaic
+    (independent per-pixel statement of the overzoom rule — the engine
+    uses a reshape/max trick, the pytest a third copy)."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    tp = 256
+    level = {
+        k: (len(ways), img)
+        for k, (ways, img) in _scalar_base_tiles(bbox, zoom, tp).items()
+    }
+    rows = []
+    for z in range(zoom, min_zoom - 1, -1):
+        for (tx, ty), (n_src, img) in sorted(level.items()):
+            rows.append(
+                (z, tx, ty, n_src, int(np.count_nonzero(img)),
+                 zlib.crc32(img.tobytes()))
+            )
+        if z == min_zoom:
+            break
+        parents: dict[tuple[int, int], tuple[int, np.ndarray]] = {}
+        for (tx, ty), (_n, img) in level.items():
+            key = (tx // 2, ty // 2)
+            n_prev, mosaic = parents.get(key, (0, np.zeros((2 * tp, 2 * tp), np.uint8)))
+            mosaic[(ty % 2) * tp : (ty % 2 + 1) * tp, (tx % 2) * tp : (tx % 2 + 1) * tp] = img
+            parents[key] = (n_prev + 1, mosaic)
+        level = {}
+        for key, (n_children, mosaic) in parents.items():
+            pooled = np.zeros((tp, tp), np.uint8)
+            for yy in range(tp):
+                for xx in range(tp):
+                    pooled[yy, xx] = max(
+                        mosaic[2 * yy, 2 * xx], mosaic[2 * yy, 2 * xx + 1],
+                        mosaic[2 * yy + 1, 2 * xx], mosaic[2 * yy + 1, 2 * xx + 1],
+                    )
+            level[key] = (n_children, pooled)
+    return ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc"], rows, {}
 
 
 def g_geo_multipolygon_assembly():
@@ -1157,6 +1205,7 @@ GENERATORS = {
     "icepick_compact_stats": g_icepick_compact_stats,
     "update_stream_apply": g_update_stream_apply,
     "geo_render_raster": g_geo_render_raster,
+    "geo_render_pyramid": g_geo_render_pyramid,
     "osc_parse_rollup": g_osc_parse_rollup,
     # E1-from-real-pbf lands on the SAME scalar rows as the way-tiling twin
     # (identical fixture + chunk rules; the pbf codec and icepick roundtrip
