@@ -2343,6 +2343,69 @@ def icepick_compact_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("dirty_tiles_stats", None)
+def dirty_tiles_stats(spark, sf):
+    """Tile expiry for the shared update-world diff batches (the public
+    osm2pgsql "expire-tiles" concept composed with the update family):
+    for each composed batch, derive the post-batch node/way state in
+    DataFrame-land (anti-join out changed ids, union upserts), compute
+    the blast radius exactly as apply_diff_batch does (reverse-index
+    explode against the broadcast changed-node set, plus the way diff
+    itself), resolve the affected ways' OLD and NEW geometry, and emit
+    render.dirty_tiles over zooms 12..9 — the distinct (zoom, tile) set a
+    tile sink must re-render after the batch (deleted ways dirty their
+    old tiles: erasure re-renders too). Batch 2 depends on batch-1 state.
+    Golden twin: scalar dict apply + scalar mercator pixel fan-out +
+    ancestor shifts (tools/gen_goldens.py g_dirty_tiles_stats)."""
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+    from coords_spark.operators import render, resolve
+    from coords_spark.streaming import update_stream as US
+
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
+    b1, b2 = gen_update_diffs(nodes_rows, ways_rows, rels_rows)
+    cur_nodes = spark.createDataFrame(
+        nodes_rows, "id long, version int, lat int, lon int, tags map<string,string>"
+    ).drop("tags")
+    cur_ways = spark.createDataFrame(
+        ways_rows, "id long, version int, refs array<long>, tags map<string,string>"
+    ).drop("tags")
+    out = None
+    for bi, batch in enumerate((b1, b2), 1):
+        b = spark.createDataFrame(batch, US.DIFF_SCHEMA)
+        node_up = b.filter("kind = 0 AND action = 'upsert'").select(
+            "id", "version", "lat", "lon"
+        )
+        node_ch = b.filter("kind = 0").select("id")
+        way_up = b.filter("kind = 1 AND action = 'upsert'").select(
+            "id", "version", "refs"
+        )
+        way_ch = b.filter("kind = 1").select("id")
+        post_nodes = cur_nodes.join(node_ch, "id", "anti").unionByName(node_up)
+        post_ways = cur_ways.join(way_ch, "id", "anti").unionByName(way_up)
+        hit = (
+            cur_ways.unionByName(post_ways)
+            .select(F.col("id").alias("way_id"), F.explode("refs").alias("nid"))
+            .join(F.broadcast(node_ch.withColumnRenamed("id", "nid")), "nid")
+            .select("way_id")
+        )
+        aff = hit.unionAll(way_ch.withColumnRenamed("id", "way_id")).distinct()
+        aff_id = aff.withColumnRenamed("way_id", "id")
+        old_geom = resolve.resolve_ways(
+            cur_ways.join(aff_id, "id", "semi"), cur_nodes
+        )
+        new_geom = resolve.resolve_ways(
+            post_ways.join(aff_id, "id", "semi"), post_nodes
+        )
+        dirty = render.dirty_tiles(
+            old_geom.unionByName(new_geom), zoom=12, min_zoom=9
+        ).withColumn("batch", F.lit(bi).cast("long"))
+        out = dirty if out is None else out.unionByName(dirty)
+        cur_nodes, cur_ways = post_nodes.localCheckpoint(), post_ways.localCheckpoint()
+    return out.select("batch", "zoom", "tile_x", "tile_y").orderBy(
+        "batch", "zoom", "tile_x", "tile_y"
+    )
+
+
 @_q("update_stream_apply", None)
 def update_stream_apply(spark, sf):
     """Continuous-update pipeline end-to-end: id-keyed entity stores for
@@ -2946,7 +3009,19 @@ _WINDOW_FIRST = [
     # unique-shape keepers (spatial chain + store + streaming + LSH/ANN)
     "geo_coastline_classify",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    # r6 rotation, second wave (new operators added mid-round):
+    # dedup_simhash_pairs out (r5-green; minhash_lsh/embedding_cosine/
+    # keep_first/cluster_stats/minhash_band/ngram keep the dedup family) ->
+    # osc_parse_rollup in (the .osc osmChange front door, never checked);
+    # session_window_stats out (r5-green; tumbling/stream-stream/stateful/
+    # ledger/update_stream keep streaming) -> geo_render_pyramid in (the
+    # overzoom rollup, never checked); doc_fingerprint_distinct out
+    # (r5-green; text_quality_scored keeps the text family) ->
+    # dirty_tiles_stats in (tile expiry over the update diffs, never
+    # checked).
+    "osc_parse_rollup",
+    "geo_render_pyramid",
+    "dirty_tiles_stats",
     # embedding_ann_topk (single-query probe) rotates out — ann_join/ivf/
     # cosine-pairs keep the LSH-ANN family pinned; geo_render_tiles takes
     # the slot (the per-tile render aggregation, new this round)
@@ -2974,10 +3049,8 @@ _WINDOW_FIRST = [
     "dedup_keep_first",
     "minhash_band_signature",
     "ngram_jaccard_pairs",
-    "doc_fingerprint_distinct",
     "knn_cosine_top10",
     "tumbling_window_event_counts",
-    "session_window_stats",
     "stream_click_purchase_join",
     # never driver-checked in any round (r3 verdict #2; watermark_dedup_counts
     # rotates out — tumbling/session/stream-stream/stateful/ledger keep the

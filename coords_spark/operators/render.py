@@ -54,19 +54,9 @@ def _list_offsets(arr: pa.Array) -> np.ndarray:
     return np.concatenate(([0], np.cumsum(lens)))
 
 
-def render_tile_images(
-    spark,
-    table_path: str,
-    bbox,
-    zoom: int,
-    tile_px: int = 256,
-    base_level: int = tiling.DEFAULT_BASE_LEVEL,
-    fmt: str = "pngz",
-) -> DataFrame:
-    """One row per viewport tile: (tile_x, tile_y, n_ways, n_px, px_crc,
-    payload). px_crc is zlib.crc32 of the raw mask bytes (the golden-twin
-    handle); payload is the mask encoded as `fmt` via kernels/codec."""
-    scale = tile_px << zoom
+def _pix_udf(scale: int):
+    """Arrow UDF projecting a pts polyline to global pixel coords at the
+    target zoom (vectorized mercator; only the pts column ships)."""
 
     @F.arrow_udf("array<struct<gx: bigint, gy: bigint>>")
     def _pix(pts: pa.Array) -> pa.Array:
@@ -84,11 +74,19 @@ def render_tile_images(
         )
         return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
 
-    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
-    tp = tile_px
-    ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
+    return _pix
+
+
+def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
+    """(way_id, pts) -> one row per (segment, touched tile): way_id, tx,
+    ty, x0, y0, x1, y1 in global pixel coords. Pure JVM after the one
+    Arrow projection exchange: inline explode of transform/sequence
+    (generators stay fused with their explode, CLAUDE.md). Fan-out covers
+    each segment's tile bounding rectangle — a superset of every tile the
+    integer line walk can mark. Ways shorter than 2 vertices emit no
+    segments."""
     seg = (
-        ways.select("way_id", _pix(F.col("pts")).alias("gp"))
+        ways.select("way_id", _pix_udf(scale)(F.col("pts")).alias("gp"))
         .select(
             "way_id",
             F.expr(
@@ -98,7 +96,7 @@ def render_tile_images(
         )
         .select("way_id", "s.*")
     )
-    tiles = (
+    return (
         seg.select(
             "way_id",
             "x0",
@@ -113,7 +111,27 @@ def render_tile_images(
             ),
         )
         .select("way_id", "t.tx", "t.ty", "x0", "y0", "x1", "y1")
-        .filter(f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}")
+    )
+
+
+def render_tile_images(
+    spark,
+    table_path: str,
+    bbox,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+) -> DataFrame:
+    """One row per viewport tile: (tile_x, tile_y, n_ways, n_px, px_crc,
+    payload). px_crc is zlib.crc32 of the raw mask bytes (the golden-twin
+    handle); payload is the mask encoded as `fmt` via kernels/codec."""
+    scale = tile_px << zoom
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    tp = tile_px
+    ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
+    tiles = _segment_tile_fanout(ways, scale, tp).filter(
+        f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}"
     )
     grouped = tiles.groupBy("tx", "ty").agg(
         F.count_distinct("way_id").alias("n_ways"),
@@ -272,3 +290,52 @@ def render_tile_pyramid(
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out.select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
+
+
+def dirty_tiles(
+    changed_geom: DataFrame,
+    zoom: int,
+    min_zoom: int | None = None,
+    tile_px: int = 256,
+) -> DataFrame:
+    """Tile-expiry set for an update batch (the public osm2pgsql
+    "expire-tiles" concept, composed with this engine's update family):
+    given the OLD and NEW geometry of every way an update touched —
+    caller unions pre-diff and post-diff `(way_id, pts)` rows, including
+    deleted ways' pre-diff geometry (a tile must re-render to ERASE as
+    much as to draw) — emit the distinct (zoom, tile_x, tile_y) whose
+    raster content can differ, for every zoom in [min_zoom, zoom].
+
+    Completeness: render_tile_images marks pixels only along segments,
+    and _segment_tile_fanout covers each segment's full tile bounding
+    rectangle, so any tile whose mask or way fan-in changes is touched by
+    an old or new segment of a changed way and lands here. Ancestors are
+    the base tiles shifted right level by level — exactly the parents
+    overzoom_tiles would rebuild.
+
+    100 TB posture: the input is the update's blast radius (the same
+    diff-proportional set apply_way_diff rewrites), never the planet;
+    one Arrow projection exchange + JVM explodes, then distincts bounded
+    by the dirty-set size. The output feeds the tile sink as a work list:
+    re-render the base tiles, then re-roll only the listed ancestors."""
+    if min_zoom is None:
+        min_zoom = zoom
+    tp = tile_px
+    base = (
+        _segment_tile_fanout(changed_geom, tp << zoom, tp)
+        .select("tx", "ty")
+        .distinct()
+    )
+    return (
+        base.select(
+            F.explode(F.sequence(F.lit(min_zoom), F.lit(zoom))).alias("zoom"),
+            "tx",
+            "ty",
+        )
+        .select(
+            F.col("zoom").cast("long").alias("zoom"),
+            F.expr(f"shiftright(tx, cast({zoom} - zoom AS int))").cast("long").alias("tile_x"),
+            F.expr(f"shiftright(ty, cast({zoom} - zoom AS int))").cast("long").alias("tile_y"),
+        )
+        .distinct()
+    )

@@ -223,3 +223,113 @@ def test_render_pyramid_end_to_end(spark, chunk_table):
             assert r["px_crc"] == zlib.crc32(want.tobytes())
             next_masks[key] = want
         masks = next_masks
+
+
+def test_dirty_tiles(spark, tmp_path):
+    """Tile expiry vs reality: move a set of non-anchor nodes, render the
+    same viewport from PRE and POST chunk tables, and require (a) every
+    tile whose rendered content changed is in the dirty set, (b) the base
+    dirty set EQUALS the scalar segment-rectangle fan-out of the affected
+    ways' old+new geometry, (c) each ancestor level is exactly the child
+    level shifted right."""
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, render, resolve, tiling
+
+    nodes_t, ways_t = gen_nodes(800), gen_ways(120, 800)
+    # drop the fixture's 2000-ref mega-way: world-spanning segment
+    # rectangles would dominate the scalar twin's runtime, not its logic
+    keep = [i for i, r in enumerate(ways_t.column("refs").to_pylist()) if len(r) < 500]
+    ways_t = ways_t.take(keep)
+    way_refs = {r["id"]: list(r["refs"]) for r in ways_t.to_pylist()}
+    anchors = {refs[0] for refs in way_refs.values()}
+    node_ids = nodes_t.column("id").to_numpy()
+    moved = {int(i) for i in node_ids if i % 23 == 1 and int(i) not in anchors}
+    affected = {wid for wid, refs in way_refs.items() if moved & set(refs)}
+    assert affected
+
+    import pyarrow as pa
+
+    lat = nodes_t.column("lat").to_numpy().copy()
+    lon = nodes_t.column("lon").to_numpy().copy()
+    mv = np.isin(node_ids, list(moved))
+    lat[mv] += 180_000
+    lon[mv] += 260_000
+    post_t = nodes_t.set_column(2, "lat", pa.array(lat, pa.int32())).set_column(
+        3, "lon", pa.array(lon, pa.int32())
+    )
+
+    zoom, min_zoom, tp = 10, 8, 256
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    pre_nodes, post_nodes = spark.createDataFrame(nodes_t), spark.createDataFrame(post_t)
+    ways = spark.createDataFrame(ways_t)
+
+    rendered = {}
+    geoms = {}
+    for name, nd in (("pre", pre_nodes), ("post", post_nodes)):
+        resolved = resolve.resolve_ways(ways, nd)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(g, max_bytes=64 * 1024)
+        chunked = tiling.with_chunk(g, split)
+        rows = chunked.select(
+            "way_id", "cell", "chunk_id", "pts",
+            F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
+        )
+        path = str(tmp_path / name)
+        tiling.materialize_chunk_table(rows, path, key_col="way_id")
+        rendered[name] = {
+            (r["tile_x"], r["tile_y"]): (r["n_ways"], r["px_crc"])
+            for r in render.render_tile_images(spark, path, bbox, zoom, tp).collect()
+        }
+        geoms[name] = {
+            r["way_id"]: [(p["lat"], p["lon"]) for p in r["pts"]]
+            for r in resolved.filter(
+                F.col("way_id").isin([int(w) for w in affected])
+            ).collect()
+        }
+
+    pre, post = rendered["pre"], rendered["post"]
+    changed = {
+        k for k in set(pre) | set(post) if pre.get(k) != post.get(k)
+    }
+    assert changed  # the move is visible at this zoom
+
+    old_new = (
+        spark.createDataFrame(
+            [
+                (wid, [{"node_id": 0, "lat": la, "lon": lo} for la, lo in pts])
+                for side in ("pre", "post")
+                for wid, pts in geoms[side].items()
+            ],
+            "way_id long, pts array<struct<node_id: long, lat: int, lon: int>>",
+        )
+    )
+    dirty = render.dirty_tiles(old_new, zoom, min_zoom, tp).collect()
+    by_zoom: dict[int, set] = {}
+    for r in dirty:
+        by_zoom.setdefault(r["zoom"], set()).add((r["tile_x"], r["tile_y"]))
+    assert sorted(by_zoom) == [8, 9, 10]
+
+    # (a) completeness against the real renders
+    assert changed <= by_zoom[10]
+
+    # (b) base level == scalar rectangle fan-out of old+new geometry
+    scale = tp << zoom
+    want = set()
+    for side in ("pre", "post"):
+        for pts in geoms[side].values():
+            ux, uy = mercator.latlon_i32_to_unit(
+                np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+            )
+            gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
+            gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
+            for i in range(len(gx) - 1):
+                for tx in range(min(gx[i], gx[i + 1]) // tp, max(gx[i], gx[i + 1]) // tp + 1):
+                    for ty in range(min(gy[i], gy[i + 1]) // tp, max(gy[i], gy[i + 1]) // tp + 1):
+                        want.add((tx, ty))
+    assert by_zoom[10] == want
+
+    # (c) ancestor closure, level by level
+    for z in (9, 8):
+        assert by_zoom[z] == {(tx >> (10 - z), ty >> (10 - z)) for tx, ty in by_zoom[10]}

@@ -464,6 +464,59 @@ def g_update_stream_apply():
     }
 
 
+def g_dirty_tiles_stats(zoom: int = 12, min_zoom: int = 9):
+    """Independent scalar twin of the tile-expiry query: dict-apply each
+    composed diff batch, compute the blast radius (ways whose OLD or NEW
+    refs touch a changed node, plus the way diff itself), resolve old and
+    new geometry scalar-side, fan each segment out to its pixel-tile
+    bounding rectangle (scalar mercator), then shift right per ancestor
+    level."""
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
+    b1, b2 = gen_update_diffs(nodes_rows, ways_rows, rels_rows)
+    nodes = {r[0]: (r[2], r[3]) for r in nodes_rows}  # id -> (lat, lon)
+    ways = {r[0]: list(r[2]) for r in ways_rows}  # id -> refs
+    scale = 256 << zoom
+
+    def pix(lat, lon):
+        ux, uy = mc.mercator_unit(lat, lon)
+        return min(int(ux * scale), scale - 1), min(int(uy * scale), scale - 1)
+
+    rows = []
+    for bi, batch in enumerate((b1, b2), 1):
+        node_ch = {e[2] for e in batch if e[0] == 0}
+        way_ch = {e[2] for e in batch if e[0] == 1}
+        post_nodes = {i: v for i, v in nodes.items() if i not in node_ch}
+        post_ways = {i: v for i, v in ways.items() if i not in way_ch}
+        for kind, action, eid, _ver, lat, lon, refs, _m, _t in batch:
+            if action != "upsert":
+                continue
+            if kind == 0:
+                post_nodes[eid] = (lat, lon)
+            elif kind == 1:
+                post_ways[eid] = list(refs)
+        aff = set(way_ch)
+        for store in (ways, post_ways):
+            aff |= {w for w, refs in store.items() if node_ch & set(refs)}
+        base = set()
+        for store, nds in ((ways, nodes), (post_ways, post_nodes)):
+            for wid in sorted(aff):
+                refs = store.get(wid)
+                if refs is None or any(r not in nds for r in refs):
+                    continue  # resolve_ways drops incomplete ways
+                g = [pix(*nds[r]) for r in refs]
+                for (x0, y0), (x1, y1) in zip(g, g[1:]):
+                    for tx in range(min(x0, x1) // 256, max(x0, x1) // 256 + 1):
+                        for ty in range(min(y0, y1) // 256, max(y0, y1) // 256 + 1):
+                            base.add((tx, ty))
+        for z in range(min_zoom, zoom + 1):
+            for tx, ty in sorted({(tx >> (zoom - z), ty >> (zoom - z)) for tx, ty in base}):
+                rows.append((bi, z, tx, ty))
+        nodes, ways = post_nodes, post_ways
+    return ["batch", "zoom", "tile_x", "tile_y"], sorted(rows), {}
+
+
 def g_osc_parse_rollup():
     """Scalar twin of the osmChange parse rollup: same per-(kind, action)
     aggregation computed from the fixture diff rows DIRECTLY — the
@@ -1204,6 +1257,7 @@ GENERATORS = {
     "pbf_create_tiles_stats": g_pbf_create_tiles_stats,
     "icepick_compact_stats": g_icepick_compact_stats,
     "update_stream_apply": g_update_stream_apply,
+    "dirty_tiles_stats": g_dirty_tiles_stats,
     "geo_render_raster": g_geo_render_raster,
     "geo_render_pyramid": g_geo_render_pyramid,
     "osc_parse_rollup": g_osc_parse_rollup,
