@@ -317,6 +317,46 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # raster pyramid at bench scale (the image axis beyond decode): a
+    # way-polyline world scaled by sf, resolved + chunked + materialized
+    # once (build timed separately, same accounting rule as render_bbox),
+    # then the full zoom-8..6 pyramid of the London viewport — base
+    # render from geometry plus two overzoom max-pool rollups.
+    tmp = tempfile.mkdtemp(prefix="bench_pyramid_")
+    try:
+        from coords_spark.fixtures import gen_nodes, gen_ways
+        from coords_spark.operators import geometry, render, resolve
+        from coords_spark.operators import tiling as TL
+
+        n_ways = max(600, int(60_000 * sf))
+        n_nodes = max(4_000, int(400_000 * sf))
+        t0 = time.time()
+        nodes = spark.createDataFrame(gen_nodes(n_nodes))
+        ways = spark.createDataFrame(gen_ways(n_ways, n_nodes))
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = TL.compute_split_set(g, max_bytes=256 * 1024)
+        chunked = TL.with_chunk(g, split)
+        rows = chunked.select(
+            "way_id", "cell", "chunk_id", "pts",
+            F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
+        )
+        py_path = os.path.join(tmp, "tiles")
+        TL.materialize_chunk_table(rows, py_path, key_col="way_id")
+        queries["geo_pyramid_build"] = time.time() - t0
+        t0 = time.time()
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+        n_pyr_tiles = render.render_tile_pyramid(
+            spark, py_path, bbox, zoom=8, min_zoom=6
+        ).count()
+        queries["geo_render_pyramid"] = time.time() - t0
+    except Exception as e:
+        errors["geo_render_pyramid"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # icepick maintenance (r5 verdict ask #4): after N diff generations a
     # table fragments into many small overlapping-range files; measure the
     # read BEFORE and AFTER compact() — the post-diff read improvement the

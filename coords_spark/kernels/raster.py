@@ -17,6 +17,12 @@ line-walk library):
 floor division on negatives is floor in both numpy and Python — the two
 implementations cannot drift. n samples guarantee 8-connected coverage
 (adjacent samples differ by <=1 on the dominant axis).
+
+Optional per-segment [k_lo, k_hi] bounds walk only that sample sub-range
+of the SAME rule (piece-wise fan-out upstream hands each tile only the
+pieces whose samples can land in it — a continental segment then costs
+each tile O(tile_px) samples, not O(segment length); the marked pixel set
+is identical because every sample k computes the same pixel either way).
 """
 
 from __future__ import annotations
@@ -24,10 +30,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def rasterize_segments(x0, y0, x1, y1, w: int = 256, h: int = 256) -> np.ndarray:
+def rasterize_segments(
+    x0, y0, x1, y1, w: int = 256, h: int = 256, k_lo=None, k_hi=None
+) -> np.ndarray:
     """Vectorized over ALL segments of one tile: one concatenated sample
     index space (repeat/cumsum, the LEB128-kernel pattern), one fancy-index
-    store. Returns the (h, w) uint8 mask."""
+    store. Returns the (h, w) uint8 mask. k_lo/k_hi (inclusive, optional)
+    restrict each segment's walk to that sample sub-range."""
     x0 = np.asarray(x0, dtype=np.int64)
     y0 = np.asarray(y0, dtype=np.int64)
     x1 = np.asarray(x1, dtype=np.int64)
@@ -38,9 +47,16 @@ def rasterize_segments(x0, y0, x1, y1, w: int = 256, h: int = 256) -> np.ndarray
     dx = x1 - x0
     dy = y1 - y0
     n = np.maximum(np.abs(dx), np.abs(dy)) + 1
-    off = np.concatenate(([0], np.cumsum(n)[:-1]))
-    seg = np.repeat(np.arange(n.size), n)
-    k = np.arange(int(n.sum()), dtype=np.int64) - off[seg]
+    if k_lo is None:
+        k_lo = np.zeros(n.size, dtype=np.int64)
+        k_hi = n - 1
+    else:
+        k_lo = np.asarray(k_lo, dtype=np.int64)
+        k_hi = np.minimum(np.asarray(k_hi, dtype=np.int64), n - 1)
+    cnt = np.maximum(k_hi - k_lo + 1, 0)
+    off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    seg = np.repeat(np.arange(cnt.size), cnt)
+    k = np.arange(int(cnt.sum()), dtype=np.int64) - off[seg] + k_lo[seg]
     denom = np.maximum(n[seg] - 1, 1)
     px = x0[seg] + (dx[seg] * k) // denom
     py = y0[seg] + (dy[seg] * k) // denom
@@ -49,17 +65,45 @@ def rasterize_segments(x0, y0, x1, y1, w: int = 256, h: int = 256) -> np.ndarray
     return img
 
 
-def rasterize_segments_scalar(x0, y0, x1, y1, w: int = 256, h: int = 256) -> np.ndarray:
+def rasterize_segments_scalar(
+    x0, y0, x1, y1, w: int = 256, h: int = 256, k_lo=None, k_hi=None
+) -> np.ndarray:
     """Per-sample Python loop stating the pixel rule directly — the unit
     test pins the vectorized kernel against it (the golden generator keeps
     its own third copy)."""
     img = np.zeros((h, w), np.uint8)
-    for a, b, c, d in zip(x0, y0, x1, y1):
+    ns = len(x0)
+    lo = [0] * ns if k_lo is None else list(k_lo)
+    hi = [None] * ns if k_hi is None else list(k_hi)
+    for i, (a, b, c, d) in enumerate(zip(x0, y0, x1, y1)):
         a, b, c, d = int(a), int(b), int(c), int(d)
         n = max(abs(c - a), abs(d - b)) + 1
-        for k in range(n):
+        top = n - 1 if hi[i] is None else min(int(hi[i]), n - 1)
+        for k in range(int(lo[i]), top + 1):
             px = a + ((c - a) * k) // max(n - 1, 1)
             py = b + ((d - b) * k) // max(n - 1, 1)
             if 0 <= px < w and 0 <= py < h:
                 img[py, px] = 255
     return img
+
+
+def segment_pieces(a: int, b: int, c: int, d: int, s: int = 256):
+    """The piece rule, stated scalar-side for twins and tests: split the
+    sample range [0, n-1] of segment (a,b)->(c,d) into non-overlapping
+    chunks of `s` samples; yield (k_lo, k_hi, ax, ay, bx, by) where
+    (ax,ay)/(bx,by) are the chunk's endpoint SAMPLES under the pixel rule.
+    Samples are monotone in both axes, so every sample of the chunk lies
+    inside the rect spanned by those endpoints — tile membership by that
+    rect is an exact superset of the chunk's markable pixels."""
+    n1 = max(abs(c - a), abs(d - b))
+    n1c = max(n1, 1)
+    for j in range(n1 // s + 1):
+        k_lo, k_hi = j * s, min(j * s + s - 1, n1)
+        yield (
+            k_lo,
+            k_hi,
+            a + ((c - a) * k_lo) // n1c,
+            b + ((d - b) * k_lo) // n1c,
+            a + ((c - a) * k_hi) // n1c,
+            b + ((d - b) * k_hi) // n1c,
+        )

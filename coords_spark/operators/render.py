@@ -78,13 +78,22 @@ def _pix_udf(scale: int):
 
 
 def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
-    """(way_id, pts) -> one row per (segment, touched tile): way_id, tx,
-    ty, x0, y0, x1, y1 in global pixel coords. Pure JVM after the one
-    Arrow projection exchange: inline explode of transform/sequence
-    (generators stay fused with their explode, CLAUDE.md). Fan-out covers
-    each segment's tile bounding rectangle — a superset of every tile the
-    integer line walk can mark. Ways shorter than 2 vertices emit no
-    segments."""
+    """(way_id, pts) -> one row per (segment PIECE, touched tile): way_id,
+    tx, ty, x0, y0, x1, y1 (global pixel coords of the FULL segment),
+    k_lo, k_hi (the piece's sample sub-range). Pure JVM after the one
+    Arrow projection exchange: inline explodes of transform/sequence
+    (generators stay fused with their explode, CLAUDE.md).
+
+    Piece rule (kernels/raster.py segment_pieces is the scalar statement):
+    the pixel walk's sample range [0, n-1] splits into non-overlapping
+    chunks of `tp` samples; a chunk's endpoint samples span a rect (the
+    walk is monotone per axis) of at most 2x2 tiles, and the chunk fans
+    only to THAT rect. So a continental segment amplifies O(length/tp),
+    never O(area/tp^2) as whole-segment rectangles would, and each tile
+    receives only pieces whose samples can actually land in it — the
+    rasterizer then walks O(tp) samples per piece instead of the whole
+    segment. floor((d*k)/n1) is spelled (v - pmod(v, n1)) div n1 so SQL
+    integer math floors exactly like the numpy/Python twins."""
     seg = (
         ways.select("way_id", _pix_udf(scale)(F.col("pts")).alias("gp"))
         .select(
@@ -96,7 +105,12 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
         )
         .select("way_id", "s.*")
     )
-    return (
+
+    def fd(v: str, d: str) -> str:  # exact floor division in SQL
+        return f"(({v}) - pmod({v}, {d})) div ({d})"
+
+    n1 = "greatest(abs(x1-x0), abs(y1-y0))"
+    piece = (
         seg.select(
             "way_id",
             "x0",
@@ -104,13 +118,41 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
             "x1",
             "y1",
             F.expr(
+                f"explode(transform(sequence(0L, {n1} div {tp}), j -> named_struct("
+                f"'k_lo', j * {tp}, 'k_hi', least(j * {tp} + {tp - 1}, {n1})))) AS p"
+            ),
+        )
+        .select(
+            "way_id",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            F.col("p.k_lo").alias("k_lo"),
+            F.col("p.k_hi").alias("k_hi"),
+            F.expr(f"x0 + {fd('(x1-x0) * p.k_lo', f'greatest({n1}, 1)')}").alias("ax"),
+            F.expr(f"y0 + {fd('(y1-y0) * p.k_lo', f'greatest({n1}, 1)')}").alias("ay"),
+            F.expr(f"x0 + {fd('(x1-x0) * p.k_hi', f'greatest({n1}, 1)')}").alias("bx"),
+            F.expr(f"y0 + {fd('(y1-y0) * p.k_hi', f'greatest({n1}, 1)')}").alias("by"),
+        )
+    )
+    return (
+        piece.select(
+            "way_id",
+            "x0",
+            "y0",
+            "x1",
+            "y1",
+            "k_lo",
+            "k_hi",
+            F.expr(
                 f"explode(flatten(transform("
-                f"sequence(least(x0, x1) div {tp}, greatest(x0, x1) div {tp}), "
-                f"tx -> transform(sequence(least(y0, y1) div {tp}, greatest(y0, y1) div {tp}), "
+                f"sequence(least(ax, bx) div {tp}, greatest(ax, bx) div {tp}), "
+                f"tx -> transform(sequence(least(ay, by) div {tp}, greatest(ay, by) div {tp}), "
                 f"ty -> struct(tx AS tx, ty AS ty))))) AS t"
             ),
         )
-        .select("way_id", "t.tx", "t.ty", "x0", "y0", "x1", "y1")
+        .select("way_id", "t.tx", "t.ty", "x0", "y0", "x1", "y1", "k_lo", "k_hi")
     )
 
 
@@ -141,6 +183,8 @@ def render_tile_images(
                 (F.col("y0") - F.col("ty") * tp).alias("y0"),
                 (F.col("x1") - F.col("tx") * tp).alias("x1"),
                 (F.col("y1") - F.col("ty") * tp).alias("y1"),
+                F.col("k_lo"),
+                F.col("k_hi"),
             )
         ).alias("segs"),
     )
@@ -157,10 +201,15 @@ def render_tile_images(
         y0 = flat.field("y0").to_numpy(zero_copy_only=False)
         x1 = flat.field("x1").to_numpy(zero_copy_only=False)
         y1 = flat.field("y1").to_numpy(zero_copy_only=False)
+        k_lo = flat.field("k_lo").to_numpy(zero_copy_only=False)
+        k_hi = flat.field("k_hi").to_numpy(zero_copy_only=False)
         n_px, crcs, payloads = [], [], []
         for i in range(len(offs) - 1):
             sl = slice(offs[i], offs[i + 1])
-            img = raster.rasterize_segments(x0[sl], y0[sl], x1[sl], y1[sl], tp, tp)
+            img = raster.rasterize_segments(
+                x0[sl], y0[sl], x1[sl], y1[sl], tp, tp,
+                k_lo=k_lo[sl], k_hi=k_hi[sl],
+            )
             n_px.append(int(np.count_nonzero(img)))
             crcs.append(zlib.crc32(img.tobytes()))
             payloads.append(

@@ -43,6 +43,36 @@ def test_kernel_edges():
     assert np.count_nonzero(h) == 16 and h[2].sum() == 16 * 255
 
 
+def test_kernel_pieces():
+    """Piece rule invariants: (1) the union of piece-restricted walks
+    marks exactly the pixels of the full walk (vectorized AND scalar);
+    (2) every sample of a piece lies inside the rect spanned by the
+    piece's endpoint samples (membership-by-rect is an exact superset);
+    (3) pieces tile the sample range without gap or overlap."""
+    x0, y0, x1, y1 = _dense_segments(60, lo=-400, span=3000)
+    full = raster.rasterize_segments(x0, y0, x1, y1, 256, 256)
+    xs, ys, xe, ye, kl, kh = [], [], [], [], [], []
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        a, b, c, d = int(a), int(b), int(c), int(d)
+        n1 = max(abs(c - a), abs(d - b))
+        prev_end = -1
+        for k_lo, k_hi, ax, ay, bx, by in raster.segment_pieces(a, b, c, d, 256):
+            assert k_lo == prev_end + 1  # no gap, no overlap
+            prev_end = k_hi
+            xs.append(a); ys.append(b); xe.append(c); ye.append(d)
+            kl.append(k_lo); kh.append(k_hi)
+            for k in range(k_lo, k_hi + 1):
+                px = a + ((c - a) * k) // max(n1, 1)
+                py = b + ((d - b) * k) // max(n1, 1)
+                assert min(ax, bx) <= px <= max(ax, bx)
+                assert min(ay, by) <= py <= max(ay, by)
+        assert prev_end == n1  # full coverage
+    pieced = raster.rasterize_segments(xs, ys, xe, ye, 256, 256, k_lo=kl, k_hi=kh)
+    assert np.array_equal(full, pieced)
+    sc = raster.rasterize_segments_scalar(xs, ys, xe, ye, 256, 256, k_lo=kl, k_hi=kh)
+    assert np.array_equal(pieced, sc)
+
+
 def _expected_tiles(resolved_rows, bbox, zoom, tile_px):
     """Independent per-tile reference: anchor filter -> pixel transform ->
     segment tile fan-out -> scalar rasterize (mirrors the golden twin)."""
@@ -64,22 +94,24 @@ def _expected_tiles(resolved_rows, bbox, zoom, tile_px):
         gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
         for i in range(len(gx) - 1):
             a, b, c, d = int(gx[i]), int(gy[i]), int(gx[i + 1]), int(gy[i + 1])
-            for tx in range(min(a, c) // tile_px, max(a, c) // tile_px + 1):
-                for ty in range(min(b, d) // tile_px, max(b, d) // tile_px + 1):
-                    if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
-                        continue
-                    t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
-                    t["ways"].add(way_id)
-                    t["segs"].append(
-                        (a - tx * tile_px, b - ty * tile_px,
-                         c - tx * tile_px, d - ty * tile_px)
-                    )
+            for k_lo, k_hi, ax, ay, bx, by in raster.segment_pieces(a, b, c, d, tile_px):
+                for tx in range(min(ax, bx) // tile_px, max(ax, bx) // tile_px + 1):
+                    for ty in range(min(ay, by) // tile_px, max(ay, by) // tile_px + 1):
+                        if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                            continue
+                        t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
+                        t["ways"].add(way_id)
+                        t["segs"].append(
+                            (a - tx * tile_px, b - ty * tile_px,
+                             c - tx * tile_px, d - ty * tile_px, k_lo, k_hi)
+                        )
     out = {}
     for key, t in tiles.items():
         segs = t["segs"]
         img = raster.rasterize_segments_scalar(
             [s[0] for s in segs], [s[1] for s in segs],
-            [s[2] for s in segs], [s[3] for s in segs], tile_px, tile_px
+            [s[2] for s in segs], [s[3] for s in segs], tile_px, tile_px,
+            k_lo=[s[4] for s in segs], k_hi=[s[5] for s in segs],
         )
         out[key] = (len(t["ways"]), int(np.count_nonzero(img)),
                     zlib.crc32(img.tobytes()), img)
@@ -325,9 +357,12 @@ def test_dirty_tiles(spark, tmp_path):
             gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
             gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
             for i in range(len(gx) - 1):
-                for tx in range(min(gx[i], gx[i + 1]) // tp, max(gx[i], gx[i + 1]) // tp + 1):
-                    for ty in range(min(gy[i], gy[i + 1]) // tp, max(gy[i], gy[i + 1]) // tp + 1):
-                        want.add((tx, ty))
+                for _kl, _kh, ax, ay, bx, by in raster.segment_pieces(
+                    int(gx[i]), int(gy[i]), int(gx[i + 1]), int(gy[i + 1]), tp
+                ):
+                    for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                        for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                            want.add((tx, ty))
     assert by_zoom[10] == want
 
     # (c) ancestor closure, level by level

@@ -507,9 +507,19 @@ def g_dirty_tiles_stats(zoom: int = 12, min_zoom: int = 9):
                     continue  # resolve_ways drops incomplete ways
                 g = [pix(*nds[r]) for r in refs]
                 for (x0, y0), (x1, y1) in zip(g, g[1:]):
-                    for tx in range(min(x0, x1) // 256, max(x0, x1) // 256 + 1):
-                        for ty in range(min(y0, y1) // 256, max(y0, y1) // 256 + 1):
-                            base.add((tx, ty))
+                    # same piece rule as the render twin: membership by
+                    # per-chunk endpoint-sample rects, not whole-segment
+                    n1 = max(abs(x1 - x0), abs(y1 - y0))
+                    n1c = max(n1, 1)
+                    for j in range(n1 // 256 + 1):
+                        k_lo, k_hi = j * 256, min(j * 256 + 255, n1)
+                        ax = x0 + ((x1 - x0) * k_lo) // n1c
+                        ay = y0 + ((y1 - y0) * k_lo) // n1c
+                        bx = x0 + ((x1 - x0) * k_hi) // n1c
+                        by = y0 + ((y1 - y0) * k_hi) // n1c
+                        for tx in range(min(ax, bx) // 256, max(ax, bx) // 256 + 1):
+                            for ty in range(min(ay, by) // 256, max(ay, by) // 256 + 1):
+                                base.add((tx, ty))
         for z in range(min_zoom, zoom + 1):
             for tx, ty in sorted({(tx >> (zoom - z), ty >> (zoom - z)) for tx, ty in base}):
                 rows.append((bi, z, tx, ty))
@@ -571,23 +581,36 @@ def _scalar_base_tiles(bbox, zoom, tp):
             continue
         g = [pix(la, lo) for la, lo in ll]
         for (x0, y0), (x1, y1) in zip(g, g[1:]):
-            for tx in range(min(x0, x1) // tp, max(x0, x1) // tp + 1):
-                for ty in range(min(y0, y1) // tp, max(y0, y1) // tp + 1):
-                    if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
-                        continue
-                    t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
-                    t["ways"].add(wid)
-                    t["segs"].append(
-                        (x0 - tx * tp, y0 - ty * tp, x1 - tx * tp, y1 - ty * tp)
-                    )
+            # piece rule (independent statement; engine in render.py, kernel
+            # twin in kernels/raster.py segment_pieces): the sample range
+            # splits into tp-sample chunks; each chunk fans only to the rect
+            # of its endpoint samples and rasterizes only its own k range
+            n1 = max(abs(x1 - x0), abs(y1 - y0))
+            n1c = max(n1, 1)
+            for j in range(n1 // tp + 1):
+                k_lo, k_hi = j * tp, min(j * tp + tp - 1, n1)
+                ax = x0 + ((x1 - x0) * k_lo) // n1c
+                ay = y0 + ((y1 - y0) * k_lo) // n1c
+                bx = x0 + ((x1 - x0) * k_hi) // n1c
+                by = y0 + ((y1 - y0) * k_hi) // n1c
+                for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                    for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                        if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                            continue
+                        t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
+                        t["ways"].add(wid)
+                        t["segs"].append(
+                            (x0 - tx * tp, y0 - ty * tp,
+                             x1 - tx * tp, y1 - ty * tp, k_lo, k_hi)
+                        )
     out: dict[tuple[int, int], tuple[set, np.ndarray]] = {}
     for (tx, ty), t in sorted(tiles.items()):
         img = np.zeros((tp, tp), np.uint8)
-        for a, b, c, d in t["segs"]:
-            n = max(abs(c - a), abs(d - b)) + 1
-            for k in range(n):
-                px = a + ((c - a) * k) // max(n - 1, 1)
-                py = b + ((d - b) * k) // max(n - 1, 1)
+        for a, b, c, d, k_lo, k_hi in t["segs"]:
+            n1c = max(abs(c - a), abs(d - b), 1)
+            for k in range(k_lo, k_hi + 1):
+                px = a + ((c - a) * k) // n1c
+                py = b + ((d - b) * k) // n1c
                 if 0 <= px < tp and 0 <= py < tp:
                     img[py, px] = 255
         out[(tx, ty)] = (t["ways"], img)
