@@ -311,8 +311,10 @@ def test_dirty_tiles(spark, tmp_path):
         path = str(tmp_path / name)
         tiling.materialize_chunk_table(rows, path, key_col="way_id")
         rendered[name] = {
-            (r["tile_x"], r["tile_y"]): (r["n_ways"], r["px_crc"])
-            for r in render.render_tile_images(spark, path, bbox, zoom, tp).collect()
+            (r["zoom"], r["tile_x"], r["tile_y"]): (r["n_src"], r["n_px"], r["px_crc"])
+            for r in render.render_tile_pyramid(
+                spark, path, bbox, zoom, min_zoom, tp
+            ).collect()
         }
         geoms[name] = {
             r["way_id"]: [(p["lat"], p["lon"]) for p in r["pts"]]
@@ -322,9 +324,8 @@ def test_dirty_tiles(spark, tmp_path):
         }
 
     pre, post = rendered["pre"], rendered["post"]
-    changed = {
-        k for k in set(pre) | set(post) if pre.get(k) != post.get(k)
-    }
+    changed_all = {k for k in set(pre) | set(post) if pre.get(k) != post.get(k)}
+    changed = {(tx, ty) for z, tx, ty in changed_all if z == zoom}
     assert changed  # the move is visible at this zoom
 
     old_new = (
@@ -368,3 +369,12 @@ def test_dirty_tiles(spark, tmp_path):
     # (c) ancestor closure, level by level
     for z in (9, 8):
         assert by_zoom[z] == {(tx >> (10 - z), ty >> (10 - z)) for tx, ty in by_zoom[10]}
+
+    # (d) incremental pyramid patch == full rebuild: take the PRE pyramid,
+    # drop every dirty (zoom, tile), splice in the POST renders of exactly
+    # those tiles — the result must equal the full POST pyramid at every
+    # level (so the dirty set is also complete for every overzoom level,
+    # and re-rolling only listed ancestors is sufficient)
+    patched = {k: v for k, v in pre.items() if (k[1], k[2]) not in by_zoom[k[0]]}
+    patched |= {k: v for k, v in post.items() if (k[1], k[2]) in by_zoom[k[0]]}
+    assert patched == post
