@@ -75,6 +75,9 @@ def apply_diff_batch(
     way_table: str | None,
     rel_table: str | None,
     group: str,
+    dirty_table: str | None = None,
+    dirty_zoom: int = 12,
+    dirty_min_zoom: int = 9,
 ) -> dict:
     """Apply ONE diff batch everywhere; shared by the streaming sink and
     batch callers (stream==batch cannot drift). Idempotent per table via
@@ -108,6 +111,52 @@ def apply_diff_batch(
         "id", "version", "members", "tags"
     )
     rel_del = _ids(b.filter((F.col("kind") == KIND_REL) & (F.col("action") == "delete")))
+
+    # -- 0. tile-expiry log (MUST commit before the stores: the dirty set
+    # needs the PRE-diff geometry, so a replay after a store commit could
+    # not recompute it — commit-dirty-first makes every crash window
+    # replay-safe under the per-table ledgers). The post-diff state is
+    # derived in DataFrame-land from the pre stores + the batch, never
+    # from a committed store.
+    if dirty_table is not None:
+        import tempfile
+
+        from coords_spark.operators.render import dirty_tiles as _dirty_tiles
+
+        dt = IcepickTable.create(dirty_table)  # idempotent
+        if group in dt.committed_groups():
+            stats["dirty_tiles"] = "replayed"
+        else:
+            nodes0 = ES.read_entity_store(spark, nodes_store).select("id", "lat", "lon")
+            ways0 = ES.read_entity_store(spark, ways_store).select("id", "refs")
+            node_ch = node_up.select("id").unionAll(node_del)
+            way_ch = way_up.select("id").unionAll(way_del)
+            post_n = nodes0.join(node_ch, "id", "anti").unionByName(
+                node_up.select("id", "lat", "lon")
+            )
+            post_w = ways0.join(way_ch, "id", "anti").unionByName(
+                way_up.select("id", "refs")
+            )
+            hit = (
+                ways0.unionByName(post_w)
+                .select(F.col("id").alias("way_id"), F.explode("refs").alias("nid"))
+                .join(F.broadcast(node_ch.withColumnRenamed("id", "nid")), "nid")
+                .select("way_id")
+            )
+            aff_id = (
+                hit.unionAll(way_ch.withColumnRenamed("id", "way_id"))
+                .distinct()
+                .withColumnRenamed("way_id", "id")
+            )
+            old_geom = resolve.resolve_ways(ways0.join(aff_id, "id", "semi"), nodes0)
+            new_geom = resolve.resolve_ways(post_w.join(aff_id, "id", "semi"), post_n)
+            dirty = _dirty_tiles(
+                old_geom.unionByName(new_geom), dirty_zoom, dirty_min_zoom
+            ).withColumn("batch_group", F.lit(group))
+            stage = tempfile.mkdtemp(prefix="dirty_stage_")
+            dirty.write.mode("overwrite").parquet(stage)
+            entries = dt.commit_staged(stage, group=group, chunk_col="tile_x")
+            stats["dirty_tiles"] = int(sum(e["rows"] for e in entries))
 
     # -- 1. entity stores (order irrelevant between kinds; each atomic) ----
     for path, up, dele, name in (
@@ -198,9 +247,15 @@ def stream_apply_diffs(
     way_table: str | None,
     rel_table: str | None,
     checkpoint_dir: str,
+    dirty_table: str | None = None,
+    dirty_zoom: int = 12,
+    dirty_min_zoom: int = 9,
 ):
     """Start the continuous update query. Each micro-batch is one diff
-    interval applied atomically-per-table with replay-safe skips."""
+    interval applied atomically-per-table with replay-safe skips. With
+    `dirty_table`, each batch also appends its tile-expiry work list
+    (render.dirty_tiles over the batch's blast radius) — the re-render
+    feed for a downstream tile sink."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_diff_batch(
@@ -212,6 +267,9 @@ def stream_apply_diffs(
             way_table,
             rel_table,
             group=f"diff-{batch_id}",
+            dirty_table=dirty_table,
+            dirty_zoom=dirty_zoom,
+            dirty_min_zoom=dirty_min_zoom,
         )
 
     return (

@@ -129,11 +129,13 @@ def test_stream_applies_and_composes(spark, world, tmp_path):
         shutil.move(part, dst)
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
 
+    dirty_table = str(tmp_path / "dirtytiles")
     q = US.stream_apply_diffs(
         US.stream_diffs_from_dir(spark, diff_dir),
         stores["nodes"], stores["ways"], stores["rels"],
         way_table, rel_table,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        dirty_table=dirty_table,
     )
     q.processAllAvailable()
     q.stop()
@@ -170,17 +172,36 @@ def test_stream_applies_and_composes(spark, world, tmp_path):
     )
     assert _table_rows(spark, rel_table, REL_COLS) == _table_rows(spark, scratch_rel, REL_COLS)
 
+    # the per-batch tile-expiry log matches the dirty_tiles_stats driver
+    # query — an independent engine path that derives the post-diff state
+    # in DataFrame-land from the raw fixtures (no stores) and is itself
+    # golden-pinned to a scalar twin
+    from coords_spark.driver_surface import QUERIES
+
+    want_dirty: dict = {}
+    for r in QUERIES["dirty_tiles_stats"](spark, None).collect():
+        want_dirty.setdefault(f"diff-{int(r['batch']) - 1}", set()).add(
+            (r["zoom"], r["tile_x"], r["tile_y"])
+        )
+    got_dirty: dict = {}
+    for r in spark.read.parquet(*IcepickTable(dirty_table).data_paths()).collect():
+        got_dirty.setdefault(r["batch_group"], set()).add(
+            (r["zoom"], r["tile_x"], r["tile_y"])
+        )
+    assert got_dirty == want_dirty and all(v for v in got_dirty.values())
+
     # exactly-once: a fresh stream over the same checkpoint re-lists both
     # batches as already processed — zero new table versions anywhere
     versions = {
         p: IcepickTable(p).current_manifest()["version"]
-        for p in (*stores.values(), way_table, rel_table)
+        for p in (*stores.values(), way_table, rel_table, dirty_table)
     }
     q2 = US.stream_apply_diffs(
         US.stream_diffs_from_dir(spark, diff_dir + "/*"),
         stores["nodes"], stores["ways"], stores["rels"],
         way_table, rel_table,
         checkpoint_dir=str(tmp_path / "ckpt"),
+        dirty_table=dirty_table,
     )
     q2.processAllAvailable()
     q2.stop()
@@ -190,8 +211,9 @@ def test_stream_applies_and_composes(spark, world, tmp_path):
     # direct replay of a single batch (same group) is a per-table no-op
     stats = US.apply_diff_batch(
         spark, b1, stores["nodes"], stores["ways"], stores["rels"],
-        way_table, rel_table, group="diff-0",
+        way_table, rel_table, group="diff-0", dirty_table=dirty_table,
     )
     assert stats["nodes"] == "replayed" and stats["way_chunks"] == "replayed"
+    assert stats["dirty_tiles"] == "replayed"
     for p, v in versions.items():
         assert IcepickTable(p).current_manifest()["version"] == v
