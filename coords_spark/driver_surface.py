@@ -2406,6 +2406,97 @@ def dirty_tiles_stats(spark, sf):
     )
 
 
+@_q("osc_update_render_stats", None)
+def osc_update_render_stats(spark, sf):
+    """Continuous E3 capstone — the full reference-style live loop in one
+    hash: the shared update world is built into id-keyed entity stores +
+    the derived way-chunk table; the two composed diff batches are
+    round-tripped through REAL `.osc.gz` osmChange files (write_osc ->
+    binaryFile read_osc); each batch applies through the streaming core
+    (apply_diff_batch — ledgered, dirty-first) which also appends its
+    tile-expiry list; finally the dirty zoom-12 tiles are re-rendered
+    from the POST entity-store state and the query returns their exact
+    masks (n_ways, n_px, crc32 per tile). A wrong XML parse, a missed
+    store upsert, an over/under blast radius, a wrong expiry list, or a
+    wrong pixel all change the hash. Golden twin: scalar dict-apply +
+    scalar piece fan-out + scalar raster (g_osc_update_render_stats)."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+    from coords_spark.operators import entity_store as ES
+    from coords_spark.operators import geometry, render, resolve, tiling, update
+    from coords_spark.sources import osc
+    from coords_spark.sources.icepick import IcepickTable
+    from coords_spark.streaming import update_stream as US
+
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
+    b1, b2 = gen_update_diffs(nodes_rows, ways_rows, rels_rows)
+    tmp = tempfile.mkdtemp(prefix="osc_e3_")
+    try:
+        nodes = spark.createDataFrame(
+            nodes_rows, "id long, version int, lat int, lon int, tags map<string,string>"
+        )
+        ways = spark.createDataFrame(
+            ways_rows, "id long, version int, refs array<long>, tags map<string,string>"
+        )
+        stores = {k: f"{tmp}/store_{k}" for k in ("nodes", "ways", "rels")}
+        ES.build_entity_store(nodes, stores["nodes"], id_shift=6)
+        ES.build_entity_store(ways, stores["ways"], id_shift=4)
+        rels = spark.createDataFrame(
+            rels_rows,
+            "id long, version int, "
+            "members array<struct<mtype: tinyint, ref: long, role: string>>, "
+            "tags map<string,string>",
+        )
+        ES.build_entity_store(rels, stores["rels"], id_shift=2)
+        g = geometry.with_geometry_cell(
+            geometry.with_envelope(resolve.resolve_ways(ways, nodes))
+        ).withColumn("nbytes", (F.size("pts") * 8 + 64).cast("long"))
+        split = tiling.compute_split_set(g, max_bytes=4 * 1024)
+        way_table = f"{tmp}/waychunks"
+        update.build_way_chunk_table(spark, nodes, ways, way_table, split)
+
+        dirty_table = f"{tmp}/dirtytiles"
+        for i, batch in enumerate((b1, b2)):
+            p = f"{tmp}/diff-{i}.osc.gz"
+            osc.write_osc(p, batch)
+            US.apply_diff_batch(
+                spark,
+                osc.read_osc(spark, p),
+                stores["nodes"],
+                stores["ways"],
+                stores["rels"],
+                way_table,
+                None,
+                group=f"diff-{i}",
+                dirty_table=dirty_table,
+            )
+
+        dirty_base = (
+            spark.read.parquet(*IcepickTable(dirty_table).data_paths())
+            .filter(F.col("zoom") == 12)
+            .select("tile_x", "tile_y")
+            .distinct()
+        )
+        post_ways = resolve.resolve_ways(
+            ES.read_entity_store(spark, stores["ways"]),
+            ES.read_entity_store(spark, stores["nodes"]),
+        )
+        world_bbox = (-850_000_000, -1_799_999_999, 850_000_000, 1_799_999_999)
+        return (
+            render.render_tile_images(
+                spark, None, world_bbox, zoom=12, tile_px=256, ways=post_ways
+            )
+            .join(F.broadcast(dirty_base), ["tile_x", "tile_y"])
+            .select("tile_x", "tile_y", "n_ways", "n_px", "px_crc")
+            .orderBy("tile_x", "tile_y")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("update_stream_apply", None)
 def update_stream_apply(spark, sf):
     """Continuous-update pipeline end-to-end: id-keyed entity stores for
@@ -3103,6 +3194,10 @@ _WINDOW_FIRST = [
     "pbf_create_tiles_stats",
     "icepick_compact_stats",
 ]
+# r7 rotation candidate: osc_update_render_stats (the continuous-E3
+# capstone — .osc roundtrip -> ledgered streaming apply -> dirty log ->
+# post-store re-render, added after this round's window was already
+# rotated twice) plus any other late-r6 query without a driver row yet.
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
 QUERIES = {name: QUERIES[name] for name in _WINDOW_FIRST} | {

@@ -158,20 +158,26 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
 
 def render_tile_images(
     spark,
-    table_path: str,
+    table_path: str | None,
     bbox,
     zoom: int,
     tile_px: int = 256,
     base_level: int = tiling.DEFAULT_BASE_LEVEL,
     fmt: str = "pngz",
+    ways: DataFrame | None = None,
 ) -> DataFrame:
     """One row per viewport tile: (tile_x, tile_y, n_ways, n_px, px_crc,
     payload). px_crc is zlib.crc32 of the raw mask bytes (the golden-twin
-    handle); payload is the mask encoded as `fmt` via kernels/codec."""
+    handle); payload is the mask encoded as `fmt` via kernels/codec.
+    Input is either a chunk-table path (S5 pruned render_read — anchor
+    must fall in bbox) or a pre-read `ways` DataFrame of (way_id, pts)
+    when the caller already holds the geometry (e.g. re-rendering an
+    update's dirty tiles from post-diff entity stores)."""
     scale = tile_px << zoom
     tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
     tp = tile_px
-    ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
+    if ways is None:
+        ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
     tiles = _segment_tile_fanout(ways, scale, tp).filter(
         f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}"
     )

@@ -527,6 +527,101 @@ def g_dirty_tiles_stats(zoom: int = 12, min_zoom: int = 9):
     return ["batch", "zoom", "tile_x", "tile_y"], sorted(rows), {}
 
 
+def g_osc_update_render_stats(zoom: int = 12, tp: int = 256):
+    """Independent scalar twin of the continuous-E3 capstone: dict-apply
+    both diff batches (tracking each batch's dirty zoom-12 tiles via the
+    scalar piece fan-out over old+new affected geometry), then raster the
+    FINAL world's ways — every way, not just affected ones; a dirty tile's
+    content includes untouched ways crossing it — and keep the dirty
+    tiles' (n_ways, n_px, crc)."""
+    from coords_spark.fixtures import gen_update_diffs, gen_update_world
+
+    nodes_rows, ways_rows, rels_rows = gen_update_world(10)
+    b1, b2 = gen_update_diffs(nodes_rows, ways_rows, rels_rows)
+    nodes = {r[0]: (r[2], r[3]) for r in nodes_rows}
+    ways = {r[0]: list(r[2]) for r in ways_rows}
+    scale = tp << zoom
+
+    def pix(lat, lon):
+        ux, uy = mc.mercator_unit(lat, lon)
+        return min(int(ux * scale), scale - 1), min(int(uy * scale), scale - 1)
+
+    def piece_rects(x0, y0, x1, y1):
+        n1 = max(abs(x1 - x0), abs(y1 - y0))
+        n1c = max(n1, 1)
+        for j in range(n1 // tp + 1):
+            k_lo, k_hi = j * tp, min(j * tp + tp - 1, n1)
+            yield (
+                k_lo, k_hi,
+                x0 + ((x1 - x0) * k_lo) // n1c, y0 + ((y1 - y0) * k_lo) // n1c,
+                x0 + ((x1 - x0) * k_hi) // n1c, y0 + ((y1 - y0) * k_hi) // n1c,
+            )
+
+    dirty: set = set()
+    for batch in (b1, b2):
+        node_ch = {e[2] for e in batch if e[0] == 0}
+        way_ch = {e[2] for e in batch if e[0] == 1}
+        post_nodes = {i: v for i, v in nodes.items() if i not in node_ch}
+        post_ways = {i: v for i, v in ways.items() if i not in way_ch}
+        for kind, action, eid, _ver, lat, lon, refs, _m, _t in batch:
+            if action != "upsert":
+                continue
+            if kind == 0:
+                post_nodes[eid] = (lat, lon)
+            elif kind == 1:
+                post_ways[eid] = list(refs)
+        aff = set(way_ch)
+        for store in (ways, post_ways):
+            aff |= {w for w, refs in store.items() if node_ch & set(refs)}
+        for store, nds in ((ways, nodes), (post_ways, post_nodes)):
+            for wid in sorted(aff):
+                refs = store.get(wid)
+                if refs is None or any(r not in nds for r in refs):
+                    continue
+                g = [pix(*nds[r]) for r in refs]
+                for (x0, y0), (x1, y1) in zip(g, g[1:]):
+                    for _kl, _kh, ax, ay, bx, by in piece_rects(x0, y0, x1, y1):
+                        for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                            for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                                dirty.add((tx, ty))
+        nodes, ways = post_nodes, post_ways
+
+    # raster the FINAL world, keep dirty tiles
+    tiles: dict[tuple[int, int], dict] = {}
+    for wid in sorted(ways):
+        refs = ways[wid]
+        if any(r not in nodes for r in refs):
+            continue
+        g = [pix(*nodes[r]) for r in refs]
+        for (x0, y0), (x1, y1) in zip(g, g[1:]):
+            for k_lo, k_hi, ax, ay, bx, by in piece_rects(x0, y0, x1, y1):
+                for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                    for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                        if (tx, ty) not in dirty:
+                            continue
+                        t = tiles.setdefault((tx, ty), {"ways": set(), "segs": []})
+                        t["ways"].add(wid)
+                        t["segs"].append(
+                            (x0 - tx * tp, y0 - ty * tp,
+                             x1 - tx * tp, y1 - ty * tp, k_lo, k_hi)
+                        )
+    rows = []
+    for (tx, ty), t in sorted(tiles.items()):
+        img = np.zeros((tp, tp), np.uint8)
+        for a, b_, c, d, k_lo, k_hi in t["segs"]:
+            n1c = max(abs(c - a), abs(d - b_), 1)
+            for k in range(k_lo, k_hi + 1):
+                px = a + ((c - a) * k) // n1c
+                py = b_ + ((d - b_) * k) // n1c
+                if 0 <= px < tp and 0 <= py < tp:
+                    img[py, px] = 255
+        rows.append(
+            (tx, ty, len(t["ways"]), int(np.count_nonzero(img)),
+             zlib.crc32(img.tobytes()))
+        )
+    return ["tile_x", "tile_y", "n_ways", "n_px", "px_crc"], rows, {}
+
+
 def g_osc_parse_rollup():
     """Scalar twin of the osmChange parse rollup: same per-(kind, action)
     aggregation computed from the fixture diff rows DIRECTLY — the
@@ -1281,6 +1376,7 @@ GENERATORS = {
     "icepick_compact_stats": g_icepick_compact_stats,
     "update_stream_apply": g_update_stream_apply,
     "dirty_tiles_stats": g_dirty_tiles_stats,
+    "osc_update_render_stats": g_osc_update_render_stats,
     "geo_render_raster": g_geo_render_raster,
     "geo_render_pyramid": g_geo_render_pyramid,
     "osc_parse_rollup": g_osc_parse_rollup,
