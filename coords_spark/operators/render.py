@@ -347,6 +347,60 @@ def render_tile_pyramid(
     return out.select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
 
 
+def render_dirty_tiles(
+    spark,
+    table_path: str,
+    bbox,
+    tiles,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+) -> DataFrame:
+    """Work-list re-render — the production shape of the expiry loop:
+    render EXACTLY `tiles` (e.g. the dirty_tiles list at this zoom) of
+    the `bbox` viewport, reading ONLY chunk-table files whose range
+    lineage can hold a way overlapping one of those tiles. Ways are
+    chunked by their ENVELOPE cell, so each tile's quadtree cover ranges
+    (ancestors included) are a sound superset of every way whose geometry
+    can cross it; the union of per-tile ranges drives the manifest
+    pruning, then the viewport anchor predicate keeps semantics identical
+    to render_tile_images(bbox) restricted to `tiles`.
+
+    `tiles` is the work list itself (a bounded, driver-side dirty set —
+    at 100 TB the per-batch expiry list, not anything data-sized); I/O is
+    proportional to the dirty area, not the viewport or the table."""
+    from coords_spark.kernels import zcurve
+    from coords_spark.sources.icepick import IcepickTable
+
+    tiles = [(int(a), int(b)) for a, b in tiles]
+    shift = zcurve.MAX_LEVEL - zoom
+    ranges: list[tuple[int, int]] = []
+    for tx, ty in tiles:
+        ranges += zcurve.bbox_cover_ranges(
+            tx << shift, ty << shift,
+            ((tx + 1) << shift) - 1, ((ty + 1) << shift) - 1,
+            zoom, max_level=base_level,
+        )
+    t = IcepickTable(table_path)
+    paths = t.data_paths_ranges(ranges)
+    lat0, lon0, lat1, lon1 = bbox
+    lat0, lat1 = min(lat0, lat1), max(lat0, lat1)
+    lon0, lon1 = min(lon0, lon1), max(lon0, lon1)
+    if paths:
+        ways = spark.read.parquet(*paths)
+    else:  # miss path: plan from the manifest schema, open no data file
+        ways = spark.createDataFrame([], t.spark_schema())
+    ways = ways.filter(
+        F.col("lat").between(lat0, lat1) & F.col("lon").between(lon0, lon1)
+    ).select("way_id", "pts")
+    out = render_tile_images(
+        spark, None, bbox, zoom, tile_px, base_level, fmt, ways=ways
+    )
+    tiles_df = spark.createDataFrame(tiles, "tile_x long, tile_y long")
+    return out.join(F.broadcast(tiles_df), ["tile_x", "tile_y"])
+
+
 def dirty_tiles(
     changed_geom: DataFrame,
     zoom: int,

@@ -378,3 +378,54 @@ def test_dirty_tiles(spark, tmp_path):
     patched = {k: v for k, v in pre.items() if (k[1], k[2]) not in by_zoom[k[0]]}
     patched |= {k: v for k, v in post.items() if (k[1], k[2]) in by_zoom[k[0]]}
     assert patched == post
+
+
+def test_render_dirty_tiles_worklist(spark, chunk_table):
+    """Work-list re-render == full viewport render restricted to the list
+    (payload bytes included), and the per-tile range pruning reads
+    strictly fewer files than the table holds for a small work list."""
+    from coords_spark.kernels import zcurve
+    from coords_spark.operators import render
+    from coords_spark.sources.icepick import IcepickTable
+
+    path, _resolved_rows = chunk_table
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, tp = 8, 256
+    full = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_tile_images(spark, path, bbox, zoom, tp).collect()
+    }
+    assert len(full) > 3
+    worklist = sorted(full)[::2][:3]  # a few tiles, as a dirty set would be
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_dirty_tiles(
+            spark, path, bbox, worklist, zoom, tp
+        ).collect()
+    }
+    assert set(got) == set(worklist)
+    for key in worklist:
+        want = full[key]
+        assert (got[key]["n_ways"], got[key]["n_px"], got[key]["px_crc"]) == (
+            want["n_ways"], want["n_px"], want["px_crc"]
+        )
+        assert bytes(got[key]["payload"]) == bytes(want["payload"])
+
+    # pruning: one tile's ranges must keep fewer files than the table holds
+    t = IcepickTable(path)
+    tx, ty = worklist[0]
+    shift = zcurve.MAX_LEVEL - zoom
+    ranges = zcurve.bbox_cover_ranges(
+        tx << shift, ty << shift,
+        ((tx + 1) << shift) - 1, ((ty + 1) << shift) - 1,
+        zoom, max_level=8,
+    )
+    pruned = t.data_paths_ranges(ranges)
+    assert 0 < len(pruned) < len(t.data_paths())
+
+    # empty work list and off-world tile: no rows, no errors
+    assert render.render_dirty_tiles(spark, path, bbox, [], zoom, tp).count() == 0
+    assert (
+        render.render_dirty_tiles(spark, path, bbox, [(9999, 9999)], zoom, tp).count()
+        == 0
+    )
