@@ -3172,7 +3172,11 @@ _WINDOW_FIRST = [
     "anti_join_idle_customers",
     "window_running_user_value",
     "set_except_nations",
-    "string_funcs_parts",
+    # third-wave r6 swap: string_funcs_parts out (r5-green; the scalar
+    # family keeps scalar_functions_suite/date_buckets/json_props) ->
+    # osc_update_render_stats in — the continuous-E3 capstone earns its
+    # driver row in the round it landed.
+    "osc_update_render_stats",
     "date_buckets_orders",
     "json_props_stats",
     # sliding_window_user_counts rotates out (r5-green; tumbling/session/
@@ -3194,10 +3198,9 @@ _WINDOW_FIRST = [
     "pbf_create_tiles_stats",
     "icepick_compact_stats",
 ]
-# r7 rotation candidate: osc_update_render_stats (the continuous-E3
-# capstone — .osc roundtrip -> ledgered streaming apply -> dirty log ->
-# post-store re-render, added after this round's window was already
-# rotated twice) plus any other late-r6 query without a driver row yet.
+# (osc_update_render_stats was first noted as an r7 rotation candidate,
+# then swapped in above — every registered query has now had a driver row
+# or is in the current window.)
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
 QUERIES = {name: QUERIES[name] for name in _WINDOW_FIRST} | {
