@@ -347,6 +347,65 @@ def render_tile_pyramid(
     return out.select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
 
 
+def build_pyramid_table(
+    spark,
+    chunk_table_path: str,
+    out_table_path: str,
+    bbox,
+    zoom: int,
+    min_zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+):
+    """Materialize the raster pyramid INTO a tile sink, level by level:
+    the base zoom renders from geometry and commits as group 'z{zoom}';
+    each coarser level reads its children BACK FROM THE SINK and commits
+    as its own group — the literal write-z/read-z-1 shape a planet-scale
+    pipeline uses (each level is sum-of-children cost; the whole pyramid
+    a ~1.33x geometric series over the base). Levels are exactly-once via
+    the committed-group ledger, so a killed build RESUMES at the first
+    uncommitted level; tile_x min/max lineage is stamped per file for
+    range pruning of tile fetches. Returns the IcepickTable."""
+    import tempfile
+
+    from coords_spark.sources.icepick import IcepickTable
+
+    t = IcepickTable.create(out_table_path)
+
+    def _commit(df: DataFrame, z: int) -> None:
+        stage = tempfile.mkdtemp(prefix=f"pyr_z{z}_")
+        df.write.mode("overwrite").parquet(stage)
+        t.commit_staged(stage, group=f"z{z}", chunk_col="tile_x")
+
+    if f"z{zoom}" not in t.committed_groups():
+        base = (
+            render_tile_images(
+                spark, chunk_table_path, bbox, zoom, tile_px, base_level, fmt
+            )
+            .withColumnRenamed("n_ways", "n_src")
+            .withColumn("zoom", F.lit(zoom).cast("long"))
+            .select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
+        )
+        _commit(base, zoom)
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        if f"z{z}" in t.committed_groups():
+            continue
+        children = (
+            spark.read.parquet(*t.data_paths())
+            .filter(F.col("zoom") == z + 1)
+            .select("tile_x", "tile_y", "payload")
+        )
+        level = (
+            overzoom_tiles(children, tile_px, fmt)
+            .withColumnRenamed("n_children", "n_src")
+            .withColumn("zoom", F.lit(z).cast("long"))
+            .select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
+        )
+        _commit(level, z)
+    return t
+
+
 def render_dirty_tiles(
     spark,
     table_path: str,

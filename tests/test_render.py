@@ -429,3 +429,47 @@ def test_render_dirty_tiles_worklist(spark, chunk_table):
         render.render_dirty_tiles(spark, path, bbox, [(9999, 9999)], zoom, tp).count()
         == 0
     )
+
+
+def test_build_pyramid_table(spark, chunk_table, tmp_path):
+    """Sink-materialized pyramid == the in-memory pyramid (payload bytes
+    included), each level committed as its own group reading children
+    back from the sink; a partially-built table (base only) RESUMES —
+    the base group is not re-committed and the final content matches."""
+    from coords_spark.operators import render
+    from coords_spark.sources.icepick import IcepickTable
+
+    path, _ = chunk_table
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, min_zoom, tp = 8, 6, 256
+    want = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): (
+            r["n_src"], r["n_px"], r["px_crc"], bytes(r["payload"])
+        )
+        for r in render.render_tile_pyramid(spark, path, bbox, zoom, min_zoom, tp).collect()
+    }
+
+    out = str(tmp_path / "pyramid")
+    # partial build first: base level only (simulates a kill after z8)
+    render.build_pyramid_table(spark, path, out, bbox, zoom, zoom, tp)
+    t = IcepickTable(out)
+    assert set(t.committed_groups()) == {f"z{zoom}"}
+    v_after_base = t.current_manifest()["version"]
+
+    # full build resumes: z8 skipped (no new version for it), z7/z6 added
+    render.build_pyramid_table(spark, path, out, bbox, zoom, min_zoom, tp)
+    t = IcepickTable(out)
+    assert sorted(t.committed_groups()) == ["z6", "z7", "z8"]
+    assert t.current_manifest()["version"] == v_after_base + 2
+
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): (
+            r["n_src"], r["n_px"], r["px_crc"], bytes(r["payload"])
+        )
+        for r in spark.read.parquet(*t.data_paths()).collect()
+    }
+    assert got == want
+
+    # re-run is a full no-op
+    render.build_pyramid_table(spark, path, out, bbox, zoom, min_zoom, tp)
+    assert IcepickTable(out).current_manifest()["version"] == v_after_base + 2
