@@ -2226,6 +2226,57 @@ def geo_render_raster(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("pyramid_table_stats", None)
+def pyramid_table_stats(spark, sf):
+    """The pyramid THROUGH THE TILE SINK: same world and viewport as
+    geo_render_pyramid, but materialized with build_pyramid_table (base
+    renders from geometry; every coarser level reads its children back
+    from the icepick sink, one committed group per level) and read back
+    from the table. Must land on the SAME golden rows as the in-memory
+    pyramid — the sink's commit/read-back path must be transparent, so
+    the oracle maps to g_geo_render_pyramid."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, render, resolve, tiling
+
+    tmp = tempfile.mkdtemp(prefix="pyr_table_")
+    try:
+        nodes = spark.createDataFrame(gen_nodes(4000))
+        ways = spark.createDataFrame(gen_ways(600, 4000))
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(
+            g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        rows = chunked.select(
+            "way_id",
+            "cell",
+            "chunk_id",
+            "pts",
+            F.expr("pts[0].lat").alias("lat"),
+            F.expr("pts[0].lon").alias("lon"),
+        )
+        path = f"{tmp}/tiles"
+        tiling.materialize_chunk_table(rows, path, key_col="way_id")
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London
+        t = render.build_pyramid_table(
+            spark, path, f"{tmp}/pyramid", bbox, zoom=8, min_zoom=6, tile_px=256
+        )
+        return (
+            spark.read.parquet(*t.data_paths())
+            .select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc")
+            .orderBy("zoom", "tile_x", "tile_y")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("geo_render_pyramid", None)
 def geo_render_pyramid(spark, sf):
     """Raster tile PYRAMID (zoom levels 8..6 of the London viewport):

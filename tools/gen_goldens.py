@@ -1379,6 +1379,9 @@ GENERATORS = {
     "osc_update_render_stats": g_osc_update_render_stats,
     "geo_render_raster": g_geo_render_raster,
     "geo_render_pyramid": g_geo_render_pyramid,
+    # the sink-materialized pyramid must land on the SAME rows — the
+    # icepick commit/read-back path is required to be transparent
+    "pyramid_table_stats": g_geo_render_pyramid,
     "osc_parse_rollup": g_osc_parse_rollup,
     # E1-from-real-pbf lands on the SAME scalar rows as the way-tiling twin
     # (identical fixture + chunk rules; the pbf codec and icepick roundtrip
