@@ -357,6 +357,7 @@ def build_pyramid_table(
     tile_px: int = 256,
     base_level: int = tiling.DEFAULT_BASE_LEVEL,
     fmt: str = "pngz",
+    level_partitions: int = 4,
 ):
     """Materialize the raster pyramid INTO a tile sink, level by level:
     the base zoom renders from geometry and commits as group 'z{zoom}';
@@ -375,8 +376,16 @@ def build_pyramid_table(
 
     def _commit(df: DataFrame, z: int) -> None:
         stage = tempfile.mkdtemp(prefix=f"pyr_z{z}_")
-        df.write.mode("overwrite").parquet(stage)
-        t.commit_staged(stage, group=f"z{z}", chunk_col="tile_x")
+        # range-cluster by tile so each file's tile_x lineage is TIGHT —
+        # this is what lets refresh_pyramid_table rewrite only the files
+        # a dirty tile can live in (and tile fetches range-prune)
+        df.repartitionByRange(level_partitions, "tile_x", "tile_y").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        # each entry carries its zoom so refresh_pyramid_table can identify
+        # a level's files regardless of which commit (build or a later
+        # refresh) produced them
+        t.commit_staged(stage, group=f"z{z}", chunk_col="tile_x", extra_stats={"zoom": z})
 
     if f"z{zoom}" not in t.committed_groups():
         base = (
@@ -404,6 +413,120 @@ def build_pyramid_table(
         )
         _commit(level, z)
     return t
+
+
+def refresh_pyramid_table(
+    spark,
+    chunk_table_path: str,
+    pyramid_table_path: str,
+    bbox,
+    dirty,
+    zoom: int,
+    min_zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+    group: str = "refresh",
+    level_partitions: int = 4,
+) -> dict:
+    """Apply a tile-expiry list to an existing sink pyramid — the
+    incremental tile pipeline's last mile. `dirty` is the dirty_tiles
+    output ((zoom, tile_x, tile_y) rows or tuples; MUST be
+    ancestor-closed, which dirty_tiles guarantees). Per level, top down:
+    the base zoom re-renders its dirty tiles from the post-update chunk
+    table (render_dirty_tiles — pruned I/O); each coarser level re-rolls
+    its dirty parents by reading their <=4 children back from the
+    already-refreshed level above. Only files whose tile_x lineage can
+    hold a dirty tile are rewritten (their non-dirty rows carried over
+    verbatim); one atomic commit_replace per level, ledgered as
+    '{group}-z{z}' so a killed refresh resumes at the first uncommitted
+    level. Dirty tiles with no post content simply drop, matching a
+    fresh rebuild. Work is dirty-proportional: reads, renders, rolls and
+    rewrites all scale with the expiry list, never the pyramid."""
+    import os as _os
+    import tempfile
+
+    from coords_spark.sources.icepick import IcepickTable
+
+    t = IcepickTable(pyramid_table_path)
+    if isinstance(dirty, DataFrame):
+        dirty = [
+            (r["zoom"], r["tile_x"], r["tile_y"])
+            for r in dirty.select("zoom", "tile_x", "tile_y").distinct().collect()
+        ]
+    by_z: dict[int, set] = {}
+    for z, tx, ty in dirty:
+        by_z.setdefault(int(z), set()).add((int(tx), int(ty)))
+    cols = ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload"]
+    stats: dict = {}
+    for z in range(zoom, min_zoom - 1, -1):
+        gname = f"{group}-z{z}"
+        tiles = sorted(by_z.get(z, ()))
+        if gname in t.committed_groups():
+            stats[z] = "replayed"
+            continue
+        if not tiles:
+            stats[z] = {"dirty": 0, "files_rewritten": 0}
+            continue
+        if z == zoom:
+            new_rows = (
+                render_dirty_tiles(
+                    spark, chunk_table_path, bbox, tiles, z, tile_px, base_level, fmt
+                )
+                .withColumnRenamed("n_ways", "n_src")
+                .withColumn("zoom", F.lit(z).cast("long"))
+            )
+        else:
+            child_set = [
+                (2 * tx + dx, 2 * ty + dy)
+                for tx, ty in tiles
+                for dx in (0, 1)
+                for dy in (0, 1)
+            ]
+            child_df = spark.createDataFrame(child_set, "tile_x long, tile_y long")
+            upper = [e for e in t.files() if e.get("zoom") == z + 1]
+            children = (
+                spark.read.parquet(*[_os.path.join(t.path, e["path"]) for e in upper])
+                .join(F.broadcast(child_df), ["tile_x", "tile_y"])
+                .select("tile_x", "tile_y", "payload")
+            )
+            new_rows = (
+                overzoom_tiles(children, tile_px, fmt)
+                .withColumnRenamed("n_children", "n_src")
+                .withColumn("zoom", F.lit(z).cast("long"))
+            )
+        txs = {tx for tx, _ in tiles}
+        aff = [
+            e
+            for e in t.files()
+            if e.get("zoom") == z
+            and (
+                e["chunk_min"] is None
+                or any(e["chunk_min"] <= tx <= e["chunk_max"] for tx in txs)
+            )
+        ]
+        staged = new_rows.select(*cols)
+        if aff:
+            tiles_df = spark.createDataFrame(tiles, "tile_x long, tile_y long")
+            keep = (
+                spark.read.parquet(*[_os.path.join(t.path, e["path"]) for e in aff])
+                .join(F.broadcast(tiles_df), ["tile_x", "tile_y"], "left_anti")
+                .select(*cols)
+            )
+            staged = staged.unionByName(keep)
+        stage = tempfile.mkdtemp(prefix=f"pyr_refresh_z{z}_")
+        staged.repartitionByRange(level_partitions, "tile_x", "tile_y").write.mode(
+            "overwrite"
+        ).parquet(stage)
+        t.commit_replace(
+            stage,
+            [e["path"] for e in aff],
+            group=gname,
+            chunk_col="tile_x",
+            extra_stats={"zoom": z},
+        )
+        stats[z] = {"dirty": len(tiles), "files_rewritten": len(aff)}
+    return stats
 
 
 def render_dirty_tiles(

@@ -473,3 +473,132 @@ def test_build_pyramid_table(spark, chunk_table, tmp_path):
     # re-run is a full no-op
     render.build_pyramid_table(spark, path, out, bbox, zoom, min_zoom, tp)
     assert IcepickTable(out).current_manifest()["version"] == v_after_base + 2
+
+
+def test_refresh_pyramid_table(spark, tmp_path):
+    """Incremental pyramid refresh == full rebuild, through the SINK:
+    build the pre pyramid table, apply the dirty list against the post
+    chunk table, and the refreshed table must equal a from-scratch build
+    on the post world byte-for-byte — with untouched files carried (not
+    rewritten) and a replayed refresh a per-level no-op."""
+    import pyarrow as pa
+
+    from coords_spark.operators import geometry, render, resolve, tiling
+    from coords_spark.sources.icepick import IcepickTable
+
+    # purpose-built LOCAL world: 8 clusters of short chain-ways, each
+    # confined to its own lon band (gen_ways' random global refs would
+    # make every way span the planet, dirtying every x range — a real
+    # replication diff is local, and locality is exactly what the
+    # blast-radius assertion below measures)
+    node_rows, way_rows = [], []
+    nid, wid = 1, 1
+    for c in range(8):
+        clat, clon = 510_000_000, (c * 42 - 160) * 10_000_000
+        cluster_ids = []
+        for k in range(40):
+            node_rows.append(
+                (nid, 1,
+                 clat + ((k * 37) % 23) * 400_000,
+                 clon + ((k * 53) % 29) * 400_000, {})
+            )
+            cluster_ids.append(nid)
+            nid += 1
+        for s in range(0, 35, 5):
+            way_rows.append((wid, 1, cluster_ids[s : s + 6], {}))
+            wid += 1
+    nodes_t = pa.table(
+        {
+            "id": pa.array([r[0] for r in node_rows], pa.int64()),
+            "version": pa.array([r[1] for r in node_rows], pa.int32()),
+            "lat": pa.array([r[2] for r in node_rows], pa.int32()),
+            "lon": pa.array([r[3] for r in node_rows], pa.int32()),
+        }
+    )
+    ways_t = pa.table(
+        {
+            "id": pa.array([r[0] for r in way_rows], pa.int64()),
+            "version": pa.array([r[1] for r in way_rows], pa.int32()),
+            "refs": pa.array([r[2] for r in way_rows], pa.list_(pa.int64())),
+        }
+    )
+    way_refs = {r[0]: list(r[2]) for r in way_rows}
+    anchors = {refs[0] for refs in way_refs.values()}
+    node_ids = nodes_t.column("id").to_numpy()
+    lat = nodes_t.column("lat").to_numpy().copy()
+    lon = nodes_t.column("lon").to_numpy().copy()
+    # the edit: a few non-anchor nodes of cluster 0 only
+    moved = {int(i) for i in node_ids if i <= 40 and i % 7 == 3 and int(i) not in anchors}
+    affected = {w for w, refs in way_refs.items() if moved & set(refs)}
+    assert affected and len(affected) < len(way_refs) // 2
+
+    mv = np.isin(node_ids, list(moved))
+    lat[mv] += 600_000
+    lon[mv] += 900_000
+    post_t = nodes_t.set_column(2, "lat", pa.array(lat, pa.int32())).set_column(
+        3, "lon", pa.array(lon, pa.int32())
+    )
+
+    zoom, min_zoom, tp = 10, 8, 256
+    bbox = (-850_000_000, -1_799_999_999, 850_000_000, 1_799_999_999)
+    ways = spark.createDataFrame(ways_t)
+    paths, geoms = {}, {}
+    for name, nd_t in (("pre", nodes_t), ("post", post_t)):
+        nd = spark.createDataFrame(nd_t)
+        resolved = resolve.resolve_ways(ways, nd)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(g, max_bytes=32 * 1024)
+        rows = tiling.with_chunk(g, split).select(
+            "way_id", "cell", "chunk_id", "pts",
+            F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
+        )
+        paths[name] = str(tmp_path / name)
+        tiling.materialize_chunk_table(rows, paths[name], key_col="way_id")
+        geoms[name] = resolved.filter(
+            F.col("way_id").isin([int(w) for w in affected])
+        ).select("way_id", "pts")
+
+    dirty = render.dirty_tiles(
+        geoms["pre"].unionByName(geoms["post"]), zoom, min_zoom, tp
+    )
+
+    pyr = str(tmp_path / "pyr")
+    render.build_pyramid_table(spark, paths["pre"], pyr, bbox, zoom, min_zoom, tp)
+    pre_files = {e["path"]: e["checksum"] for e in IcepickTable(pyr).files()}
+
+    stats = render.refresh_pyramid_table(
+        spark, paths["post"], pyr, bbox, dirty, zoom, min_zoom, tp
+    )
+    assert all(isinstance(v, dict) and v["dirty"] > 0 for v in stats.values())
+
+    fresh = str(tmp_path / "fresh")
+    render.build_pyramid_table(spark, paths["post"], fresh, bbox, zoom, min_zoom, tp)
+
+    def rows_of(p):
+        return {
+            (r["zoom"], r["tile_x"], r["tile_y"]): (
+                r["n_src"], r["n_px"], r["px_crc"], bytes(r["payload"])
+            )
+            for r in spark.read.parquet(*IcepickTable(p).data_paths()).collect()
+        }
+
+    assert rows_of(pyr) == rows_of(fresh)
+
+    # blast radius: untouched files survive the refresh with identical
+    # checksums, and at least one file per build was NOT rewritten
+    post_files = {e["path"]: e["checksum"] for e in IcepickTable(pyr).files()}
+    survivors = set(pre_files) & set(post_files)
+    assert survivors
+    assert all(pre_files[p] == post_files[p] for p in survivors)
+    total_rewritten = sum(v["files_rewritten"] for v in stats.values())
+    assert 0 < total_rewritten < len(pre_files)
+
+    # replay: same group -> per-level no-op, manifest version unchanged
+    v0 = IcepickTable(pyr).current_manifest()["version"]
+    stats2 = render.refresh_pyramid_table(
+        spark, paths["post"], pyr, bbox, dirty, zoom, min_zoom, tp
+    )
+    assert all(v == "replayed" for v in stats2.values())
+    assert IcepickTable(pyr).current_manifest()["version"] == v0
