@@ -322,6 +322,7 @@ def main() -> None:
     # once (build timed separately, same accounting rule as render_bbox),
     # then the full zoom-8..6 pyramid of the London viewport — base
     # render from geometry plus two overzoom max-pool rollups.
+    pyramid_refresh = None
     tmp = tempfile.mkdtemp(prefix="bench_pyramid_")
     try:
         from coords_spark.fixtures import gen_nodes, gen_ways
@@ -352,6 +353,118 @@ def main() -> None:
             spark, py_path, bbox, zoom=8, min_zoom=6
         ).count()
         queries["geo_render_pyramid"] = time.time() - t0
+
+        # the expiry loop, measured. The world here is purpose-built LOCAL
+        # (a grid of in-viewport clusters with chain ways) because that is
+        # the operator's workload: a minutely diff touches one neighborhood.
+        # gen_ways' world-sweeping random refs make every edit dirty ~all
+        # viewport tiles (measured 165/168 at sf0.01) — a valid worst-case
+        # bound (refresh ~= rebuild + bounded overhead) but not the shape
+        # refresh exists for. The edit moves ONE cluster's non-anchor
+        # nodes; refresh re-renders only the dirty slice while rebuild
+        # re-renders everything. Fidelity: refresh rows == rebuild rows.
+        import numpy as _np
+        import pyarrow as _pa
+
+        n_clusters, per = 256, max(100, int(4000 * sf))
+        cl = _np.repeat(_np.arange(n_clusters), per)
+        k = _np.tile(_np.arange(per), n_clusters)
+        nid_arr = _np.arange(cl.size, dtype=_np.int64) + 1
+        clat = 501_000_000 + (cl // 16) * 1_700_000
+        clon = -19_000_000 + (cl % 16) * 2_300_000
+        nlat = (clat + ((k * 37) % 41) * 60_000).astype(_np.int32)
+        nlon = (clon + ((k * 53) % 37) * 60_000).astype(_np.int32)
+        lnodes = spark.createDataFrame(
+            _pa.table({"id": _pa.array(nid_arr), "lat": _pa.array(nlat),
+                       "lon": _pa.array(nlon)})
+        ).localCheckpoint()
+        way_refs = [
+            [int(c * per + s + j + 1) for j in range(6)]
+            for c in range(n_clusters)
+            for s in range(0, per - 6, 5)
+        ]
+        lways = spark.createDataFrame(
+            _pa.table({
+                "id": _pa.array(_np.arange(len(way_refs), dtype=_np.int64) + 1),
+                "refs": _pa.array(way_refs, _pa.list_(_pa.int64())),
+            })
+        ).localCheckpoint()
+        anchor_ids = {r[0] for r in way_refs}
+        moved_ids = [
+            int(i) for i in range(1, per + 1)
+            if i % 7 == 3 and i not in anchor_ids
+        ]
+        moved = spark.createDataFrame([(i,) for i in moved_ids], "id long")
+        post_nodes = (
+            lnodes.join(moved, "id", "anti")
+            .unionByName(
+                lnodes.join(moved, "id", "semi")
+                .withColumn("lat", F.col("lat") + F.lit(500_000))
+                .withColumn("lon", F.col("lon") + F.lit(700_000))
+            )
+            .localCheckpoint()
+        )
+
+        def _chunkify(nd, out):
+            rs = resolve.resolve_ways(lways, nd)
+            g2 = geometry.with_geometry_cell(geometry.with_envelope(rs)).withColumn(
+                "nbytes", (F.size("pts") * 8 + 64).cast("long")
+            )
+            sp = TL.compute_split_set(g2, max_bytes=256 * 1024)
+            rws = TL.with_chunk(g2, sp).select(
+                "way_id", "cell", "chunk_id", "pts",
+                F.expr("pts[0].lat").alias("lat"), F.expr("pts[0].lon").alias("lon"),
+            )
+            TL.materialize_chunk_table(rws, out, key_col="way_id")
+            return out
+
+        pre_path = _chunkify(lnodes, os.path.join(tmp, "local_pre"))
+        t0 = time.time()
+        sink1 = os.path.join(tmp, "pyr_sink")
+        render.build_pyramid_table(spark, pre_path, sink1, bbox, zoom=10, min_zoom=8)
+        queries["geo_pyramid_sink_build"] = time.time() - t0
+
+        aff_id = (
+            lways.select(F.col("id").alias("way_id"), F.explode("refs").alias("nid"))
+            .join(F.broadcast(moved.withColumnRenamed("id", "nid")), "nid")
+            .select(F.col("way_id").alias("id"))
+            .distinct()
+        )
+        old_g = resolve.resolve_ways(lways.join(aff_id, "id", "semi"), lnodes)
+        new_g = resolve.resolve_ways(lways.join(aff_id, "id", "semi"), post_nodes)
+        dirty = render.dirty_tiles(old_g.unionByName(new_g), 10, 8).localCheckpoint()
+        post_path = _chunkify(post_nodes, os.path.join(tmp, "local_post"))
+
+        t0 = time.time()
+        refresh_stats = render.refresh_pyramid_table(
+            spark, post_path, sink1, bbox, dirty, zoom=10, min_zoom=8
+        )
+        queries["geo_pyramid_refresh"] = time.time() - t0
+        t0 = time.time()
+        sink2 = os.path.join(tmp, "pyr_rebuild")
+        render.build_pyramid_table(spark, post_path, sink2, bbox, zoom=10, min_zoom=8)
+        queries["geo_pyramid_rebuild"] = time.time() - t0
+        from coords_spark.sources.icepick import IcepickTable as _IT
+
+        n_ref = spark.read.parquet(*_IT(sink1).data_paths()).count()
+        n_reb = spark.read.parquet(*_IT(sink2).data_paths()).count()
+        assert n_ref == n_reb, (n_ref, n_reb)
+        # the proportionality evidence wall-clock can't show at this scale
+        # (both paths are job-orchestration-bound; see BENCH/BASELINE.md):
+        # refresh touched `dirty` tiles and rewrote `files_rewritten` of
+        # the pyramid's files while rebuild re-rendered all `rows` tiles
+        pyramid_refresh = {
+            "dirty_tiles": sum(
+                v["dirty"] for v in refresh_stats.values() if isinstance(v, dict)
+            ),
+            "files_rewritten": sum(
+                v["files_rewritten"]
+                for v in refresh_stats.values()
+                if isinstance(v, dict)
+            ),
+            "pyramid_files": len(_IT(sink1).data_paths()),
+            "pyramid_rows": int(n_ref),
+        }
     except Exception as e:
         errors["geo_render_pyramid"] = f"{type(e).__name__}: {e}"[:200]
     finally:
@@ -417,6 +530,7 @@ def main() -> None:
         "decode_rows_per_sec": round(n_imgs / queries["payload_decode_check"], 1),
         "pbf_node_rows_per_sec": round(n_rows / queries["pbf_node_scan"], 1),
         "payload_failures": payload_failures,
+        "pyramid_refresh": pyramid_refresh,
         "errors": errors,
         "vs_prev": vs_prev,
         "vs_prev_baseline": prev_name,

@@ -376,6 +376,10 @@ def build_pyramid_table(
 
     def _commit(df: DataFrame, z: int) -> None:
         stage = tempfile.mkdtemp(prefix=f"pyr_z{z}_")
+        # materialize ONCE before the range write: repartitionByRange runs a
+        # sampling pass first, which would re-execute the whole lazy render
+        # chain (rasterize + encode) a second time (CLAUDE.md gotcha)
+        df = df.localCheckpoint()
         # range-cluster by tile so each file's tile_x lineage is TIGHT —
         # this is what lets refresh_pyramid_table rewrite only the files
         # a dirty tile can live in (and tile fetches range-prune)
@@ -449,14 +453,37 @@ def refresh_pyramid_table(
     from coords_spark.sources.icepick import IcepickTable
 
     t = IcepickTable(pyramid_table_path)
+    # clip the expiry list to the pyramid's viewport FIRST: dirty_tiles is
+    # global (an update can dirty tiles of many viewports/pyramids), while
+    # this pyramid only holds bbox's tiles — a handful of moved nodes on
+    # world-spanning ways can dirty 100k+ tiles globally but only the
+    # viewport slice exists here. Clip before any collect/planning so the
+    # refresh is proportional to dirty-WITHIN-viewport.
+    view = {z: bbox_tile_range(bbox, z, tile_px) for z in range(min_zoom, zoom + 1)}
     if isinstance(dirty, DataFrame):
+        clip = None
+        for z, (tx0, tx1, ty0, ty1) in view.items():
+            c = (
+                (F.col("zoom") == z)
+                & F.col("tile_x").between(tx0, tx1)
+                & F.col("tile_y").between(ty0, ty1)
+            )
+            clip = c if clip is None else (clip | c)
         dirty = [
             (r["zoom"], r["tile_x"], r["tile_y"])
-            for r in dirty.select("zoom", "tile_x", "tile_y").distinct().collect()
+            for r in dirty.filter(clip)
+            .select("zoom", "tile_x", "tile_y")
+            .distinct()
+            .collect()
         ]
     by_z: dict[int, set] = {}
     for z, tx, ty in dirty:
-        by_z.setdefault(int(z), set()).add((int(tx), int(ty)))
+        z, tx, ty = int(z), int(tx), int(ty)
+        if z not in view:
+            continue
+        tx0, tx1, ty0, ty1 = view[z]
+        if tx0 <= tx <= tx1 and ty0 <= ty <= ty1:
+            by_z.setdefault(z, set()).add((tx, ty))
     cols = ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload"]
     stats: dict = {}
     for z in range(zoom, min_zoom - 1, -1):
@@ -515,6 +542,9 @@ def refresh_pyramid_table(
             )
             staged = staged.unionByName(keep)
         stage = tempfile.mkdtemp(prefix=f"pyr_refresh_z{z}_")
+        # one materialization before the range write (sampling pass would
+        # re-render the dirty tiles a second time otherwise)
+        staged = staged.localCheckpoint()
         staged.repartitionByRange(level_partitions, "tile_x", "tile_y").write.mode(
             "overwrite"
         ).parquet(stage)
@@ -558,12 +588,24 @@ def render_dirty_tiles(
     tiles = [(int(a), int(b)) for a, b in tiles]
     shift = zcurve.MAX_LEVEL - zoom
     ranges: list[tuple[int, int]] = []
-    for tx, ty in tiles:
-        ranges += zcurve.bbox_cover_ranges(
-            tx << shift, ty << shift,
-            ((tx + 1) << shift) - 1, ((ty + 1) << shift) - 1,
+    if len(tiles) > 256:
+        # large work list: one conservative cover over the tiles' bounding
+        # box instead of |tiles| quadtree walks — pruning only ever shrinks
+        # I/O, and planning must stay cheap when the list is big
+        txs = [t[0] for t in tiles]
+        tys = [t[1] for t in tiles]
+        ranges = zcurve.bbox_cover_ranges(
+            min(txs) << shift, min(tys) << shift,
+            ((max(txs) + 1) << shift) - 1, ((max(tys) + 1) << shift) - 1,
             zoom, max_level=base_level,
         )
+    else:
+        for tx, ty in tiles:
+            ranges += zcurve.bbox_cover_ranges(
+                tx << shift, ty << shift,
+                ((tx + 1) << shift) - 1, ((ty + 1) << shift) - 1,
+                zoom, max_level=base_level,
+            )
     t = IcepickTable(table_path)
     paths = t.data_paths_ranges(ranges)
     lat0, lon0, lat1, lon1 = bbox
