@@ -2277,6 +2277,55 @@ def pyramid_table_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("vector_tiles_stats", None)
+def vector_tiles_stats(spark, sf):
+    """VECTOR tiles of the London viewport (the Mapnik-feed shape as a
+    per-tile artifact): same world/table as geo_render_raster, but each
+    tile carries its ways' in-tile geometry as GenericGeometry-style LINE
+    blobs in tile-local pixel coords — one blob per maximal run of
+    consecutive segments, concatenated in (way_id, seg_idx) order. The
+    crc pins the exact payload bytes; the golden twin re-derives
+    membership (scalar piece fan-out), runs, and the blob layout with an
+    inline struct.pack encoder independent of kernels/geomblob."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, render, resolve, tiling
+
+    tmp = tempfile.mkdtemp(prefix="vector_tiles_")
+    try:
+        nodes = spark.createDataFrame(gen_nodes(4000))
+        ways = spark.createDataFrame(gen_ways(600, 4000))
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(
+            g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        rows = chunked.select(
+            "way_id",
+            "cell",
+            "chunk_id",
+            "pts",
+            F.expr("pts[0].lat").alias("lat"),
+            F.expr("pts[0].lon").alias("lon"),
+        )
+        path = f"{tmp}/tiles"
+        tiling.materialize_chunk_table(rows, path, key_col="way_id")
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London
+        return (
+            render.vector_tiles(spark, path, bbox, zoom=8, tile_px=256)
+            .select("tile_x", "tile_y", "n_ways", "n_geoms", "n_segs", "payload_crc")
+            .orderBy("tile_x", "tile_y")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("geo_render_pyramid", None)
 def geo_render_pyramid(spark, sf):
     """Raster tile PYRAMID (zoom levels 8..6 of the London viewport):

@@ -100,7 +100,8 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
             "way_id",
             F.expr(
                 "explode(transform(slice(gp, 1, size(gp)-1), (p, i) -> "
-                "struct(p.gx AS x0, p.gy AS y0, gp[i+1].gx AS x1, gp[i+1].gy AS y1))) AS s"
+                "struct(i AS seg_idx, p.gx AS x0, p.gy AS y0, "
+                "gp[i+1].gx AS x1, gp[i+1].gy AS y1))) AS s"
             ),
         )
         .select("way_id", "s.*")
@@ -113,6 +114,7 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
     piece = (
         seg.select(
             "way_id",
+            "seg_idx",
             "x0",
             "y0",
             "x1",
@@ -124,6 +126,7 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
         )
         .select(
             "way_id",
+            "seg_idx",
             "x0",
             "y0",
             "x1",
@@ -139,6 +142,7 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
     return (
         piece.select(
             "way_id",
+            "seg_idx",
             "x0",
             "y0",
             "x1",
@@ -152,7 +156,10 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
                 f"ty -> struct(tx AS tx, ty AS ty))))) AS t"
             ),
         )
-        .select("way_id", "t.tx", "t.ty", "x0", "y0", "x1", "y1", "k_lo", "k_hi")
+        .select(
+            "way_id", "seg_idx", "t.tx", "t.ty",
+            "x0", "y0", "x1", "y1", "k_lo", "k_hi",
+        )
     )
 
 
@@ -671,4 +678,114 @@ def dirty_tiles(
             F.expr(f"shiftright(ty, cast({zoom} - zoom AS int))").cast("long").alias("tile_y"),
         )
         .distinct()
+    )
+
+
+def vector_tiles(
+    spark,
+    table_path: str | None,
+    bbox,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    ways: DataFrame | None = None,
+) -> DataFrame:
+    """VECTOR tiles — the literal shape the reference's Mapnik companion
+    consumes, made a per-tile artifact: for each viewport tile, every
+    way's in-tile geometry as GenericGeometry-style LINE blobs
+    (kernels/geomblob layout) in TILE-LOCAL integer pixel coords (the
+    blob's (lat, lon) slots carry (y_local, x_local)). A way contributes
+    one blob per maximal RUN of consecutive segments touching the tile
+    (consecutive seg_idx chain back into a polyline), blobs concatenate
+    in (way_id, first seg_idx) order — fully deterministic bytes.
+
+    Plan: same piece fan-out as the raster path (tile membership by
+    256-sample piece rects — a superset of any drawable pixel), distinct
+    per (tile, way, segment), ONE shuffle keyed by tile; blob assembly
+    runs where the groups land. Output: tile_x, tile_y, n_ways, n_geoms,
+    n_segs, payload_crc, payload."""
+    import zlib
+
+    from coords_spark.kernels import geomblob
+
+    scale = tile_px << zoom
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    tp = tile_px
+    if ways is None:
+        ways = ingest.render_read(spark, table_path, bbox, zoom, base_level=base_level)
+    segs = (
+        _segment_tile_fanout(ways, scale, tp)
+        .filter(f"tx BETWEEN {tx0} AND {tx1} AND ty BETWEEN {ty0} AND {ty1}")
+        .select(
+            "way_id",
+            "seg_idx",
+            "tx",
+            "ty",
+            (F.col("x0") - F.col("tx") * tp).alias("x0"),
+            (F.col("y0") - F.col("ty") * tp).alias("y0"),
+            (F.col("x1") - F.col("tx") * tp).alias("x1"),
+            (F.col("y1") - F.col("ty") * tp).alias("y1"),
+        )
+        .distinct()  # several pieces of one segment may touch the tile
+    )
+    grouped = segs.groupBy("tx", "ty").agg(
+        F.count_distinct("way_id").alias("n_ways"),
+        F.array_sort(
+            F.collect_list(F.struct("way_id", "seg_idx", "x0", "y0", "x1", "y1"))
+        ).alias("segs"),
+    )
+
+    @F.arrow_udf("struct<n_geoms: bigint, n_segs: bigint, payload_crc: bigint, payload: binary>")
+    def _assemble(segs_col: pa.Array) -> pa.Array:
+        if isinstance(segs_col, pa.ChunkedArray):
+            segs_col = segs_col.combine_chunks()
+        n_geoms_l, n_segs_l, crcs, payloads = [], [], [], []
+        for group in segs_col.to_pylist():
+            blobs = []
+            i, n = 0, len(group)
+            while i < n:
+                run = [group[i]]
+                j = i + 1
+                while (
+                    j < n
+                    and group[j]["way_id"] == group[i]["way_id"]
+                    and group[j]["seg_idx"] == group[j - 1]["seg_idx"] + 1
+                ):
+                    run.append(group[j])
+                    j += 1
+                ys = np.array(
+                    [run[0]["y0"]] + [s["y1"] for s in run], dtype=np.int32
+                )
+                xs = np.array(
+                    [run[0]["x0"]] + [s["x1"] for s in run], dtype=np.int32
+                )
+                blobs.append(
+                    geomblob.encode_geom(
+                        geomblob.GTYPE_LINE, int(run[0]["way_id"]), [(ys, xs)], []
+                    )
+                )
+                i = j
+            payload = b"".join(blobs)
+            n_geoms_l.append(len(blobs))
+            n_segs_l.append(n)
+            crcs.append(zlib.crc32(payload))
+            payloads.append(payload)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(n_geoms_l, pa.int64()),
+                pa.array(n_segs_l, pa.int64()),
+                pa.array(crcs, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["n_geoms", "n_segs", "payload_crc", "payload"],
+        )
+
+    return grouped.select(
+        F.col("tx").cast("long").alias("tile_x"),
+        F.col("ty").cast("long").alias("tile_y"),
+        F.col("n_ways").cast("long").alias("n_ways"),
+        _assemble(F.col("segs")).alias("v"),
+    ).select(
+        "tile_x", "tile_y", "n_ways", "v.n_geoms", "v.n_segs",
+        "v.payload_crc", "v.payload",
     )

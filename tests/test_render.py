@@ -602,3 +602,79 @@ def test_refresh_pyramid_table(spark, tmp_path):
     )
     assert all(v == "replayed" for v in stats2.values())
     assert IcepickTable(pyr).current_manifest()["version"] == v0
+
+
+def test_vector_tiles(spark, chunk_table):
+    """Vector tiles vs an independent scalar assembly: same piece-rect
+    membership, runs of consecutive segments -> one LINE blob each in
+    (way_id, seg_idx) order; payload bytes equal, and each blob decodes
+    back (geomblob roundtrip) to the expected local polyline."""
+    from coords_spark.kernels import geomblob
+    from coords_spark.operators import render
+
+    path, resolved_rows = chunk_table
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, tp = 8, 256
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.vector_tiles(spark, path, bbox, zoom, tp).collect()
+    }
+    assert got
+
+    # scalar twin
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tp << zoom
+    from coords_spark.operators.render import bbox_tile_range
+
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tp)
+    tiles: dict = {}
+    for way_id, pts in resolved_rows:
+        ll = [(p["lat"], p["lon"]) for p in pts]
+        if not (lat0 <= ll[0][0] <= lat1 and lon0 <= ll[0][1] <= lon1):
+            continue
+        ux, uy = mercator.latlon_i32_to_unit(
+            np.array([p[0] for p in ll]), np.array([p[1] for p in ll])
+        )
+        gx = np.minimum((ux * scale).astype(np.int64), scale - 1)
+        gy = np.minimum((uy * scale).astype(np.int64), scale - 1)
+        for i in range(len(gx) - 1):
+            a, b, c, d = int(gx[i]), int(gy[i]), int(gx[i + 1]), int(gy[i + 1])
+            for _kl, _kh, ax, ay, bx, by in raster.segment_pieces(a, b, c, d, tp):
+                for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                    for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                        if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                            continue
+                        tiles.setdefault((tx, ty), {})[(way_id, i)] = (
+                            a - tx * tp, b - ty * tp, c - tx * tp, d - ty * tp
+                        )
+    assert set(got) == set(tiles)
+    for key, segmap in tiles.items():
+        entries = sorted(segmap.items())
+        blobs = []
+        i, n = 0, len(entries)
+        while i < n:
+            (wid, sidx), (a, b, c, d) = entries[i]
+            run = [entries[i]]
+            j = i + 1
+            while (
+                j < n
+                and entries[j][0][0] == wid
+                and entries[j][0][1] == entries[j - 1][0][1] + 1
+            ):
+                run.append(entries[j])
+                j += 1
+            ys = np.array([run[0][1][1]] + [e[1][3] for e in run], dtype=np.int32)
+            xs = np.array([run[0][1][0]] + [e[1][2] for e in run], dtype=np.int32)
+            blobs.append(geomblob.encode_geom(geomblob.GTYPE_LINE, int(wid), [(ys, xs)], []))
+            i = j
+        payload = b"".join(blobs)
+        r = got[key]
+        assert r["n_segs"] == n
+        assert r["n_geoms"] == len(blobs)
+        assert r["n_ways"] == len({w for (w, _s) in segmap})
+        assert bytes(r["payload"]) == payload
+        assert r["payload_crc"] == zlib.crc32(payload)
+        # roundtrip the first blob
+        if blobs:
+            g = geomblob.decode_geom(blobs[0])
+            assert g[0] == geomblob.GTYPE_LINE

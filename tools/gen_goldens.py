@@ -726,6 +726,85 @@ def g_geo_render_raster():
     return ["tile_x", "tile_y", "n_ways", "n_px", "px_crc"], rows, {}
 
 
+def g_vector_tiles_stats(zoom: int = 8, tp: int = 256):
+    """Independent scalar twin of the vector-tile query: anchor filter ->
+    scalar mercator -> piece fan-out membership -> per-tile (way_id,
+    seg_idx)-sorted runs of consecutive segments -> LINE blobs encoded by
+    an INLINE struct.pack statement of the documented GenericGeometry
+    layout (independent of kernels/geomblob)."""
+    import struct as _st
+
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tp << zoom
+
+    def pix(lat, lon):
+        ux, uy = mc.mercator_unit(lat, lon)
+        return min(int(ux * scale), scale - 1), min(int(uy * scale), scale - 1)
+
+    cx0, cy0 = pix(lat0, lon0)
+    cx1, cy1 = pix(lat1, lon1)
+    tx0, tx1 = sorted((cx0 // tp, cx1 // tp))
+    ty0, ty1 = sorted((cy0 // tp, cy1 // tp))
+
+    tiles: dict = {}
+    for wid, pts in _resolved_ways().items():
+        ll = [(la, lo) for _nid, la, lo in pts]
+        if not (lat0 <= ll[0][0] <= lat1 and lon0 <= ll[0][1] <= lon1):
+            continue
+        g = [pix(la, lo) for la, lo in ll]
+        for i, ((x0, y0), (x1, y1)) in enumerate(zip(g, g[1:])):
+            n1 = max(abs(x1 - x0), abs(y1 - y0))
+            n1c = max(n1, 1)
+            for j in range(n1 // tp + 1):
+                k_lo, k_hi = j * tp, min(j * tp + tp - 1, n1)
+                ax = x0 + ((x1 - x0) * k_lo) // n1c
+                ay = y0 + ((y1 - y0) * k_lo) // n1c
+                bx = x0 + ((x1 - x0) * k_hi) // n1c
+                by = y0 + ((y1 - y0) * k_hi) // n1c
+                for tx in range(min(ax, bx) // tp, max(ax, bx) // tp + 1):
+                    for ty in range(min(ay, by) // tp, max(ay, by) // tp + 1):
+                        if not (tx0 <= tx <= tx1 and ty0 <= ty <= ty1):
+                            continue
+                        tiles.setdefault((tx, ty), {})[(wid, i)] = (
+                            x0 - tx * tp, y0 - ty * tp, x1 - tx * tp, y1 - ty * tp
+                        )
+
+    def line_blob(gid: int, ys: list[int], xs: list[int]) -> bytes:
+        out = [_st.pack("<Bq", 1, gid), _st.pack("<I", 1), _st.pack("<I", len(ys))]
+        for y, x in zip(ys, xs):
+            out.append(_st.pack("<ii", y, x))
+        out.append(_st.pack("<I", 0))  # no tags
+        return b"".join(out)
+
+    rows = []
+    for (tx, ty), segmap in sorted(tiles.items()):
+        entries = sorted(segmap.items())
+        blobs = []
+        i, n = 0, len(entries)
+        while i < n:
+            (wid, _sidx), _ = entries[i]
+            run = [entries[i]]
+            j = i + 1
+            while (
+                j < n
+                and entries[j][0][0] == wid
+                and entries[j][0][1] == entries[j - 1][0][1] + 1
+            ):
+                run.append(entries[j])
+                j += 1
+            ys = [run[0][1][1]] + [e[1][3] for e in run]
+            xs = [run[0][1][0]] + [e[1][2] for e in run]
+            blobs.append(line_blob(int(wid), ys, xs))
+            i = j
+        payload = b"".join(blobs)
+        rows.append(
+            (tx, ty, len({w for (w, _s) in segmap}), len(blobs), n,
+             zlib.crc32(payload))
+        )
+    return ["tile_x", "tile_y", "n_ways", "n_geoms", "n_segs", "payload_crc"], rows, {}
+
+
 def g_geo_render_pyramid(zoom: int = 8, min_zoom: int = 6):
     """Golden twin of the raster pyramid: scalar base raster at `zoom`,
     then per-level scalar 2x max-pool of each parent's quadrant mosaic
@@ -1379,6 +1458,7 @@ GENERATORS = {
     "osc_update_render_stats": g_osc_update_render_stats,
     "geo_render_raster": g_geo_render_raster,
     "geo_render_pyramid": g_geo_render_pyramid,
+    "vector_tiles_stats": g_vector_tiles_stats,
     # the sink-materialized pyramid must land on the SAME rows — the
     # icepick commit/read-back path is required to be transparent
     "pyramid_table_stats": g_geo_render_pyramid,
