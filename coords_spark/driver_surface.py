@@ -3299,8 +3299,9 @@ _WINDOW_FIRST = [
     "icepick_compact_stats",
 ]
 # (osc_update_render_stats was first noted as an r7 rotation candidate,
-# then swapped in above — every registered query has now had a driver row
-# or is in the current window.)
+# then swapped in above.) r7 rotation candidates: pyramid_table_stats and
+# vector_tiles_stats — the two queries registered after this round's
+# three rotation waves; both pass check_oracle but have no driver row yet.
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
 QUERIES = {name: QUERIES[name] for name in _WINDOW_FIRST} | {
