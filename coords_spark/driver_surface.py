@@ -3260,7 +3260,6 @@ _WINDOW_FIRST = [
     # set_except_all_segments (set_except_nations stays),
     # math_funcs_suppliers (scalar_functions_suite + string_funcs stay).
     "array_funcs_parts",
-    "map_funcs_events",
     "dedup_cluster_stats",
     "pbf_ingest_stats",
     # NEW r5 operator (incremental node-diff apply) takes
@@ -3277,12 +3276,13 @@ _WINDOW_FIRST = [
     # osc_update_render_stats in — the continuous-E3 capstone earns its
     # driver row in the round it landed.
     "osc_update_render_stats",
-    "date_buckets_orders",
     "json_props_stats",
     # sliding_window_user_counts rotates out (r5-green; tumbling/session/
     # stream-stream/stateful/ledger keep the streaming family in-window);
     # the NEW continuous-update pipeline query takes the slot
     "update_stream_apply",
+    # (r7: date_buckets_orders and map_funcs_events rotated out here — see
+    # the r7 note at the end of the list.)
     # r6 rotation (VERDICT r5 asks #1/#3/#4/#5): pbf_create_storage_stats —
     # the ONLY query never driver-checked in any round — plus the three NEW
     # operators (relation diff, E3 composed pipeline, compact/expire
@@ -3297,11 +3297,15 @@ _WINDOW_FIRST = [
     "relation_diff_apply",
     "pbf_create_tiles_stats",
     "icepick_compact_stats",
+    # r7 rotation (VERDICT r6 ask #2): pyramid_table_stats and
+    # vector_tiles_stats — the only 2 of 92 queries never driver-checked
+    # (registered after the r6 window was pinned). Rotated OUT — both
+    # r6-hash-green with in-window family representatives remaining:
+    # date_buckets_orders + map_funcs_events (scalar/collection family
+    # keeps scalar_functions_suite, json_props_stats, array_funcs_parts).
+    "pyramid_table_stats",
+    "vector_tiles_stats",
 ]
-# (osc_update_render_stats was first noted as an r7 rotation candidate,
-# then swapped in above.) r7 rotation candidates: pyramid_table_stats and
-# vector_tiles_stats — the two queries registered after this round's
-# three rotation waves; both pass check_oracle but have no driver row yet.
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
 QUERIES = {name: QUERIES[name] for name in _WINDOW_FIRST} | {

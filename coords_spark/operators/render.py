@@ -93,7 +93,12 @@ def _segment_tile_fanout(ways: DataFrame, scale: int, tp: int) -> DataFrame:
     receives only pieces whose samples can actually land in it — the
     rasterizer then walks O(tp) samples per piece instead of the whole
     segment. floor((d*k)/n1) is spelled (v - pmod(v, n1)) div n1 so SQL
-    integer math floors exactly like the numpy/Python twins."""
+    integer math floors exactly like the numpy/Python twins.
+
+    Domain: the exact floor division multiplies span * sample_index, so a
+    single segment's pixel span must stay below ~2^31.5 (ANSI int64
+    overflow raises beyond that — loud, never wrong). At 256px tiles that
+    is every zoom <= 23; beyond, split mega-segments upstream."""
     seg = (
         ways.select("way_id", _pix_udf(scale)(F.col("pts")).alias("gp"))
         .select(
@@ -460,6 +465,16 @@ def refresh_pyramid_table(
     from coords_spark.sources.icepick import IcepickTable
 
     t = IcepickTable(pyramid_table_path)
+    # every pyramid file must carry its zoom stamp — a file without one
+    # would be silently excluded from the per-level children/affected-file
+    # scans below, leaving stale rows beside re-rendered ones (ADVICE r6);
+    # refuse loudly instead (compact() preserves the stamp since r7)
+    unstamped = [e["path"] for e in t.files() if e.get("zoom") is None]
+    if unstamped:
+        raise ValueError(
+            f"pyramid table {pyramid_table_path} has files without a 'zoom' "
+            f"stat (written by a pre-r7 compact?): {unstamped[:4]}"
+        )
     # clip the expiry list to the pyramid's viewport FIRST: dirty_tiles is
     # global (an update can dirty tiles of many viewports/pyramids), while
     # this pyramid only holds bbox's tiles — a handful of moved nodes on
@@ -735,39 +750,58 @@ def vector_tiles(
         ).alias("segs"),
     )
 
+    # the geomblob layout stores int32 coords; tile-local endpoints are
+    # int64 here (a piece carries the FULL segment's endpoints, and global
+    # pixel coords reach 2^31 by zoom 23 at 256px — ADVICE r6). Saturate
+    # instead of wrapping: a clamped endpoint stays millions of pixels
+    # outside the tile window, so consumers (which clip to the tile) draw
+    # the same in-window geometry, and bytes never silently corrupt.
+    _I32 = (1 << 31) - 1
+
     @F.arrow_udf("struct<n_geoms: bigint, n_segs: bigint, payload_crc: bigint, payload: binary>")
     def _assemble(segs_col: pa.Array) -> pa.Array:
         if isinstance(segs_col, pa.ChunkedArray):
             segs_col = segs_col.combine_chunks()
+        offs = _list_offsets(segs_col)
+        flat = segs_col.flatten()
+        way_id = flat.field("way_id").to_numpy(zero_copy_only=False)
+        seg_idx = flat.field("seg_idx").to_numpy(zero_copy_only=False)
+        # int64 end-to-end; saturating cast to the blob's int32 slots
+        fx0, fy0, fx1, fy1 = (
+            np.clip(
+                flat.field(f).to_numpy(zero_copy_only=False), -_I32 - 1, _I32
+            ).astype(np.int32)
+            for f in ("x0", "y0", "x1", "y1")
+        )
         n_geoms_l, n_segs_l, crcs, payloads = [], [], [], []
-        for group in segs_col.to_pylist():
+        for gi in range(len(offs) - 1):
+            s0, s1 = offs[gi], offs[gi + 1]
+            n = s1 - s0
+            w = way_id[s0:s1]
+            si = seg_idx[s0:s1]
+            # run starts: way change OR a seg_idx gap (rows arrive sorted by
+            # (way_id, seg_idx) from array_sort) — np.diff over both keys
+            # replaces the per-segment Python while-loop (VERDICT r6 #8)
+            if n:
+                starts = np.concatenate(
+                    ([0], 1 + np.flatnonzero((np.diff(w) != 0) | (np.diff(si) != 1)))
+                )
+                bounds = np.concatenate((starts, [n]))
+            else:
+                starts = bounds = np.zeros(1, dtype=np.int64)[:0]
             blobs = []
-            i, n = 0, len(group)
-            while i < n:
-                run = [group[i]]
-                j = i + 1
-                while (
-                    j < n
-                    and group[j]["way_id"] == group[i]["way_id"]
-                    and group[j]["seg_idx"] == group[j - 1]["seg_idx"] + 1
-                ):
-                    run.append(group[j])
-                    j += 1
-                ys = np.array(
-                    [run[0]["y0"]] + [s["y1"] for s in run], dtype=np.int32
-                )
-                xs = np.array(
-                    [run[0]["x0"]] + [s["x1"] for s in run], dtype=np.int32
-                )
+            for r in range(len(starts)):
+                a, b = s0 + bounds[r], s0 + bounds[r + 1]
+                ys = np.concatenate(([fy0[a]], fy1[a:b]))
+                xs = np.concatenate(([fx0[a]], fx1[a:b]))
                 blobs.append(
                     geomblob.encode_geom(
-                        geomblob.GTYPE_LINE, int(run[0]["way_id"]), [(ys, xs)], []
+                        geomblob.GTYPE_LINE, int(way_id[a]), [(ys, xs)], []
                     )
                 )
-                i = j
             payload = b"".join(blobs)
             n_geoms_l.append(len(blobs))
-            n_segs_l.append(n)
+            n_segs_l.append(int(n))
             crcs.append(zlib.crc32(payload))
             payloads.append(payload)
         return pa.StructArray.from_arrays(

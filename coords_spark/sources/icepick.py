@@ -240,11 +240,21 @@ class IcepickTable:
         man["version"] += 1
         man["files"] = man["files"] + entries
         self._stamp_schema(man)
+        self._stamp_chunk_col(man, chunk_col)
         if gstr is not None and gstr not in man["committed_groups"]:
             man["committed_groups"] = man["committed_groups"] + [gstr]
         self._write_manifest(man)
         shutil.rmtree(staging_dir, ignore_errors=True)
         return entries
+
+    @staticmethod
+    def _stamp_chunk_col(man: dict, chunk_col: str | None) -> None:
+        """Record the clustering column in table properties on first use so
+        maintenance (compact) clusters replacements the same way the data
+        was written — a pyramid table clustered on tile_x must not be
+        re-packed by a nonexistent chunk_id (ADVICE r6)."""
+        if chunk_col is not None:
+            man.setdefault("properties", {}).setdefault("chunk_col", chunk_col)
 
     def commit_replace(
         self,
@@ -259,31 +269,58 @@ class IcepickTable:
         (operators/update.py apply_node_diff). Dropped data files stay on
         disk: older manifests still reference them, so time travel keeps
         working (Iceberg delete-file semantics, rewrite flavor)."""
+        return self.commit_replace_multi(
+            [(staging_dir, extra_stats)], drop_paths, group=group, chunk_col=chunk_col
+        )
+
+    def commit_replace_multi(
+        self,
+        staged: list[tuple[str, dict | None]],
+        drop_paths: list[str],
+        group: str | int | None = None,
+        chunk_col: str = "chunk_id",
+    ) -> list[dict]:
+        """commit_replace over SEVERAL staging dirs, each with its own
+        extra_stats, as ONE manifest write — the shape a multi-level
+        pyramid refresh or a per-zoom compact needs (every file keeps its
+        own 'zoom' stamp while the add+drop stays a single atomic commit)."""
         man = self.current_manifest()
         have = {f["path"] for f in man["files"]}
         missing = set(drop_paths) - have
         if missing:
             raise ValueError(f"commit_replace: paths not in current manifest: {sorted(missing)}")
-        entries = self._finalize_staged(staging_dir, group, chunk_col, extra_stats)
+        entries: list[dict] = []
+        for staging_dir, extra_stats in staged:
+            entries += self._finalize_staged(staging_dir, group, chunk_col, extra_stats)
         gstr = None if group is None else str(group)
         drop = set(drop_paths)
         man = self.current_manifest()
         man["version"] += 1
         man["files"] = [f for f in man["files"] if f["path"] not in drop] + entries
         self._stamp_schema(man)
+        self._stamp_chunk_col(man, chunk_col)
         if gstr is not None and gstr not in man["committed_groups"]:
             man["committed_groups"] = man["committed_groups"] + [gstr]
         self._write_manifest(man)
-        shutil.rmtree(staging_dir, ignore_errors=True)
+        for staging_dir, _ in staged:
+            shutil.rmtree(staging_dir, ignore_errors=True)
         return entries
 
     # -- maintenance (VERDICT r5 ask #4) -------------------------------------
+
+    # manifest-entry keys that are commit bookkeeping, not caller stats —
+    # anything else (e.g. a pyramid file's 'zoom') is an extra stat that
+    # compact must carry into replacement entries (ADVICE r6: a compact
+    # that drops 'zoom' makes refresh_pyramid_table read zero children)
+    _ENTRY_STD_KEYS = frozenset(
+        {"path", "rows", "chunk_min", "chunk_max", "checksum", "group"}
+    )
 
     def compact(
         self,
         spark,
         target_bytes: int = 128 << 20,
-        chunk_col: str = "chunk_id",
+        chunk_col: str | None = None,
         group: str = "compact",
     ) -> dict:
         """Bin-pack small data files into ~target_bytes files as ONE atomic
@@ -291,37 +328,58 @@ class IcepickTable:
         after N diffs the table accumulates small files; this is the
         lifecycle operator that reclaims read efficiency. Only files
         smaller than target_bytes participate; the rewrite range-partitions
-        on chunk_col + sorts within partitions, so chunk clustering — and
-        with it manifest min/max lineage and render-read file pruning —
-        survives compaction. Dropped files stay on disk for time travel
-        until expire_snapshots reclaims them."""
+        on chunk_col (default: the table's recorded clustering column) +
+        sorts within partitions, so chunk clustering — and with it manifest
+        min/max lineage and render-read file pruning — survives compaction.
+        Files are packed PER extra-stats signature (e.g. per pyramid zoom):
+        each replacement entry carries its sources' extra keys verbatim, so
+        per-file stamps like 'zoom' survive (ADVICE r6). Dropped files stay
+        on disk for time travel until expire_snapshots reclaims them."""
         import math
         import tempfile
 
+        if chunk_col is None:
+            chunk_col = (
+                self.current_manifest().get("properties", {}).get("chunk_col")
+                or "chunk_id"
+            )
         small = [
             e
             for e in self.files()
             if os.path.getsize(os.path.join(self.path, e["path"])) < target_bytes
         ]
-        if len(small) < 2:
+        by_sig: dict[tuple, list[dict]] = {}
+        for e in small:
+            sig = tuple(sorted((k, e[k]) for k in e if k not in self._ENTRY_STD_KEYS))
+            by_sig.setdefault(sig, []).append(e)
+        staged: list[tuple[str, dict | None]] = []
+        compacted: list[dict] = []
+        total = 0
+        for sig, es in sorted(by_sig.items()):
+            if len(es) < 2:
+                continue
+            paths = [os.path.join(self.path, e["path"]) for e in es]
+            size = sum(os.path.getsize(p) for p in paths)
+            nparts = max(1, math.ceil(size / target_bytes))
+            staging = tempfile.mkdtemp(prefix="compact_", dir=self.path)
+            df = spark.read.parquet(*paths)
+            if chunk_col in df.columns:
+                df = df.repartitionByRange(nparts, chunk_col).sortWithinPartitions(
+                    chunk_col
+                )
+            else:
+                df = df.repartition(nparts)
+            df.write.mode("append").parquet(os.path.join(staging, "packed"))
+            staged.append((staging, dict(sig) or None))
+            compacted += es
+            total += size
+        if not staged:
             return {"files_compacted": 0, "files_written": 0, "bytes_in": 0}
-        paths = [os.path.join(self.path, e["path"]) for e in small]
-        total = sum(os.path.getsize(p) for p in paths)
-        nparts = max(1, math.ceil(total / target_bytes))
-        staging = tempfile.mkdtemp(prefix="compact_", dir=self.path)
-        df = spark.read.parquet(*paths)
-        if chunk_col in df.columns:
-            df = df.repartitionByRange(nparts, chunk_col).sortWithinPartitions(
-                chunk_col
-            )
-        else:
-            df = df.repartition(nparts)
-        df.write.mode("append").parquet(os.path.join(staging, "packed"))
-        entries = self.commit_replace(
-            staging, [e["path"] for e in small], group=group, chunk_col=chunk_col
+        entries = self.commit_replace_multi(
+            staged, [e["path"] for e in compacted], group=group, chunk_col=chunk_col
         )
         return {
-            "files_compacted": len(small),
+            "files_compacted": len(compacted),
             "files_written": len(entries),
             "bytes_in": total,
         }

@@ -187,7 +187,14 @@ def read_osc(spark: SparkSession, path: str) -> DataFrame:
     unlike planet .osm.pbf where osmpbf.py plans blob-level splits."""
     from coords_spark.streaming.update_stream import DIFF_SCHEMA
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = (
+        spark.read.format("binaryFile")
+        # real replication dirs carry non-XML sidecars (state.txt) that
+        # would crash ET.fromstring — only pick up diff payloads (ADVICE r6)
+        .option("pathGlobFilter", "*.osc*")
+        .load(path)
+        .select("content")
+    )
     return files.mapInPandas(_parse_partition, DIFF_SCHEMA)
 
 
@@ -203,6 +210,8 @@ def stream_osc_diffs(spark: SparkSession, path: str, max_files: int = 1) -> Data
         # streaming sources must state their schema; binaryFile's is fixed
         .schema("path string, modificationTime timestamp, length long, content binary")
         .option("maxFilesPerTrigger", max_files)
+        # skip replication-state sidecars, same as the batch reader
+        .option("pathGlobFilter", "*.osc*")
         .load(path)
         .select("content")
     )

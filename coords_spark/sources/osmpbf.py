@@ -435,16 +435,21 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
     Built on proto.precompute_varints (value+length of the varint at every
     byte, one pass per block).
 
-    want: {field_no: 'varint' | 'len' | 'packed'}. Returns
+    want: {field_no: 'varint' | 'len' | 'lenm' | 'packed'}. Returns
     (varint values per field [uint64, 0 where absent],
      span (starts, ends) per field [(0,0) where absent],
-     packed occurrences per field [(msg_idx, starts, ends) arrays]).
-    Singular fields ('varint'/'len', e.g. an embedded Info message) keep
-    the LAST occurrence — proto3 semantics for non-repeated fields.
-    'packed' fields collect EVERY occurrence: spec-legal writers may split
-    one logical packed field across several length-delimited occurrences,
-    and the decoder must concatenate them (_bulk_packed does, in byte
-    order). Corrupt lengths that push a cursor past its message end raise."""
+     occurrence tuples per field [(msg_idx, starts, ends) arrays]).
+    Singular scalar fields ('varint') keep the LAST occurrence — proto3
+    semantics. 'len' keeps the last span only (use for fields where
+    last-wins is acceptable); 'lenm' collects EVERY occurrence into the
+    third return slot — the spec says split occurrences of a singular
+    EMBEDDED MESSAGE must be MERGED, so message-typed fields (e.g. Info)
+    use 'lenm' and the consumer merges field-wise across occurrences
+    (_versions_from_info; ADVICE r6). 'packed' fields also collect every
+    occurrence: spec-legal writers may split one logical packed field
+    across several length-delimited occurrences, and the decoder must
+    concatenate them (_bulk_packed does, in byte order). Corrupt lengths
+    that push a cursor past its message end raise."""
     if val is None:
         val, vlen = P.precompute_varints(data)
     n = len(spans)
@@ -461,7 +466,9 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
         for f, t in want.items()
         if t == "len"
     }
-    out_packed: dict[int, list] = {f: [] for f, t in want.items() if t == "packed"}
+    out_packed: dict[int, list] = {
+        f: [] for f, t in want.items() if t in ("packed", "lenm")
+    }
     while True:
         active = np.nonzero(cur < end)[0]
         if active.size == 0:
@@ -495,7 +502,7 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
                 if sel.any():
                     ps = p2[sel] + vlen[p2[sel]]
                     pe = ps + val[p2[sel]].astype(np.int64)
-                    if t == "packed":
+                    if t in ("packed", "lenm"):
                         out_packed[f].append((active[sel].copy(), ps, pe))
                     else:
                         starts, ends_ = out_span[f]
@@ -514,23 +521,39 @@ def _walk_messages_vec(data, spans, want, val=None, vlen=None, defaults=None):
     return out_varint, out_span, packed
 
 
-def _versions_from_info(data, info_spans, val, vlen) -> np.ndarray:
-    """version (int64, -1 where absent) from Info message spans — a second
-    lockstep walk restricted to messages that HAVE an info field."""
-    n = len(info_spans)
+def _versions_from_info(data, info_occ, n, val, vlen) -> np.ndarray:
+    """version (int64, -1 where absent) from Info OCCURRENCE arrays
+    ((msg_idx, starts, ends) — the 'lenm' walk output): a second lockstep
+    walk over every occurrence span, then a field-wise MERGE per message.
+    A spec-legal writer may split one Info message across several
+    length-delimited occurrences; embedded-message merge semantics say
+    later occurrences override field-by-field, so the LAST occurrence that
+    CARRIES a version wins and earlier-only fields survive (ADVICE r6 —
+    plain last-occurrence-wins would lose a version set only in the first
+    span)."""
+    midx, starts, ends = info_occ
     ver = np.full(n, -1, dtype=np.int64)
-    has = [i for i, (s, e) in enumerate(info_spans) if e > s]
-    if not has:
+    if midx.size == 0:
         return ver
+    if midx.size > 1:
+        order = np.lexsort((starts, midx))
+        midx, starts, ends = midx[order], starts[order], ends[order]
     vi, _si, _pk = _walk_messages_vec(
         data,
-        [info_spans[i] for i in has],
+        list(zip(starts.tolist(), ends.tolist())),
         {1: "varint"},
         val=val,
         vlen=vlen,
         defaults={1: np.uint64(0xFFFFFFFFFFFFFFFF)},  # absent version -> -1
     )
-    ver[np.asarray(has)] = vi[1].astype(np.int64)
+    vocc = vi[1].astype(np.int64)
+    present = vocc != -1
+    if present.any():
+        m, v = midx[present], vocc[present]
+        # occurrences are (msg, byte-order) sorted: reversing + unique's
+        # first-index gives the LAST present occurrence per message
+        um, first_rev = np.unique(m[::-1], return_index=True)
+        ver[um] = v[::-1][first_rev]
     return ver
 
 
@@ -571,11 +594,11 @@ def _decode_ways(data, spans, table, val=None, vlen=None) -> dict:
         val, vlen = P.precompute_varints(data)
     vints, spans_out, packed = _walk_messages_vec(
         data, spans,
-        {1: "varint", 2: "packed", 3: "packed", 4: "len", 8: "packed"},
+        {1: "varint", 2: "packed", 3: "packed", 4: "lenm", 8: "packed"},
         val=val, vlen=vlen,
     )
     ids = vints[1].astype(np.int64)
-    ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
+    ver = _versions_from_info(data, packed[4], n, val, vlen)
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
     kidx, nk = _bulk_packed(data, packed[2], n, tc)
@@ -602,13 +625,13 @@ def _decode_relations(data, spans, table, val=None, vlen=None) -> dict:
         val, vlen = P.precompute_varints(data)
     vints, spans_out, packed = _walk_messages_vec(
         data, spans,
-        {1: "varint", 2: "packed", 3: "packed", 4: "len",
+        {1: "varint", 2: "packed", 3: "packed", 4: "lenm",
          8: "packed", 9: "packed", 10: "packed"},
         val=val, vlen=vlen,
     )
     n = len(spans)
     ids = vints[1].astype(np.int64)
-    ver = _versions_from_info(data, list(zip(*spans_out[4])), val, vlen)
+    ver = _versions_from_info(data, packed[4], n, val, vlen)
     arr = np.frombuffer(data, dtype=np.uint8)
     tc = np.cumsum(arr < 0x80)
     kidx, nk = _bulk_packed(data, packed[2], n, tc)

@@ -118,3 +118,53 @@ def test_expire_keeps_multiple_versions_readable(spark, many_small):
     assert pre_v in vs
     df = spark.read.parquet(*t.data_paths(version=pre_v))
     assert df.count() == 600
+
+
+def test_compact_preserves_extra_stats_and_chunk_col(spark, tmp_path):
+    """ADVICE r6: a pyramid-style table stamps extra per-file stats
+    ('zoom') and clusters on tile_x. compact() must pack files PER
+    extra-stats signature, carry the stamps into replacement entries, and
+    default its clustering column to the one the table was written with —
+    otherwise refresh_pyramid_table's zoom filter reads zero children."""
+    t = IcepickTable.create(str(tmp_path / "t"))
+    for z in (7, 8):
+        for b in range(3):
+            stage = str(tmp_path / f"s{z}_{b}")
+            os.makedirs(stage)
+            keys = list(range(b * 10, (b + 1) * 10))
+            pq.write_table(
+                pa.table({
+                    "tile_x": pa.array(keys, pa.int64()),
+                    "zoom": pa.array([z] * 10, pa.int64()),
+                }),
+                f"{stage}/part-0.parquet",
+            )
+            t.commit_staged(
+                stage, group=f"z{z}b{b}", chunk_col="tile_x",
+                extra_stats={"zoom": z},
+            )
+    assert t.current_manifest()["properties"]["chunk_col"] == "tile_x"
+    before = {
+        z: sorted(
+            r["tile_x"]
+            for r in spark.read.parquet(*t.data_paths()).filter(f"zoom = {z}").collect()
+        )
+        for z in (7, 8)
+    }
+
+    stats = t.compact(spark, target_bytes=1 << 20)  # chunk_col from properties
+    assert stats["files_compacted"] == 6
+    # one packed file per zoom signature, each stamped + tile_x lineage
+    assert len(t.files()) == stats["files_written"]
+    zooms = sorted(e.get("zoom") for e in t.files())
+    assert zooms == [7, 8]
+    for e in t.files():
+        assert e["chunk_min"] is not None and e["chunk_max"] is not None
+    after = {
+        z: sorted(
+            r["tile_x"]
+            for r in spark.read.parquet(*t.data_paths()).filter(f"zoom = {z}").collect()
+        )
+        for z in (7, 8)
+    }
+    assert after == before

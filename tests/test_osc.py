@@ -128,3 +128,22 @@ def test_stream_one_interval_per_batch(spark, tmp_path):
 
     # leftover glob guard: nothing else writes into the source dir
     assert len(glob.glob(f"{d}/*")) == 2
+
+
+def test_non_osc_sidecars_ignored(spark, tmp_path):
+    """Real replication dirs carry state.txt beside the diffs; the readers
+    must glob *.osc* only instead of crashing on non-XML payloads
+    (ADVICE r6)."""
+    b1, b2 = _fixture_rows()
+    d = str(tmp_path / "diffs")
+    os.makedirs(d)
+    osc.write_osc(f"{d}/000001.osc.gz", b1)
+    osc.write_osc(f"{d}/000002.osc", b2)
+    with open(f"{d}/state.txt", "w") as f:
+        f.write("sequenceNumber=2\ntimestamp=2026-01-01T00\\:00\\:00Z\n")
+    got = sorted(_norm(tuple(r)) for r in osc.read_osc(spark, d).collect())
+    want = sorted(
+        _norm((k, a, i, v, la, lo, rf, mm, tg))
+        for k, a, i, v, la, lo, rf, mm, tg in b1 + b2
+    )
+    assert got == want

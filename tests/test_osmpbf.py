@@ -13,6 +13,7 @@ import pytest
 
 from coords_spark.fixtures import gen_nodes, gen_relations, gen_ways
 from coords_spark.kernels import proto as P
+from coords_spark.kernels import varint as V
 from coords_spark.sources import osmpbf
 
 
@@ -331,3 +332,53 @@ def test_split_packed_fields_concatenated():
     ) + P.enc_field_varint(17, 100)
     nrow = list(osmpbf.decode_primitive_block(nblock, osmpbf.KIND_NODES))[0].to_pylist()[0]
     assert nrow["tags"] == [("highway", "primary"), ("name", "A1")]
+
+
+def test_split_info_occurrences_merged():
+    """A spec-legal writer may split a singular embedded message (Way.info)
+    across several length-delimited occurrences; embedded-message merge
+    semantics require field-wise merging, so a version carried only by the
+    FIRST occurrence must survive a later version-less occurrence
+    (ADVICE r6 — last-occurrence-wins would drop it)."""
+    table = osmpbf._stringtable([])
+    way = (
+        P.enc_field_varint(1, 7)
+        # first Info occurrence carries version=5
+        + P.enc_field_len(4, P.enc_field_varint(1, 5))
+        # second occurrence carries only a timestamp (field 2) — merged
+        # message keeps version=5; last-wins would reset it to absent
+        + P.enc_field_len(4, P.enc_field_varint(2, 1234567))
+        + P.enc_packed_sint64(8, V.delta_encode(np.asarray([1, 2], dtype=np.int64)))
+    )
+    block = (
+        P.enc_field_len(1, table)
+        + P.enc_field_len(2, P.enc_field_len(3, way))
+        + P.enc_field_varint(17, 100)
+    )
+    rows = []
+    for b in osmpbf.decode_primitive_block(block, osmpbf.KIND_WAYS):
+        rows += b.to_pylist()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 7 and rows[0]["version"] == 5
+    assert rows[0]["refs"] == [1, 2]
+
+
+def test_split_info_later_version_wins():
+    """When BOTH occurrences carry a version, the later one overrides —
+    exactly proto's scalar-field merge rule."""
+    table = osmpbf._stringtable([])
+    way = (
+        P.enc_field_varint(1, 8)
+        + P.enc_field_len(4, P.enc_field_varint(1, 5))
+        + P.enc_field_len(4, P.enc_field_varint(1, 9))
+        + P.enc_packed_sint64(8, V.delta_encode(np.asarray([3], dtype=np.int64)))
+    )
+    block = (
+        P.enc_field_len(1, table)
+        + P.enc_field_len(2, P.enc_field_len(3, way))
+        + P.enc_field_varint(17, 100)
+    )
+    rows = []
+    for b in osmpbf.decode_primitive_block(block, osmpbf.KIND_WAYS):
+        rows += b.to_pylist()
+    assert rows[0]["version"] == 9

@@ -678,3 +678,51 @@ def test_vector_tiles(spark, chunk_table):
         if blobs:
             g = geomblob.decode_geom(blobs[0])
             assert g[0] == geomblob.GTYPE_LINE
+
+
+def test_vector_tiles_int32_saturation(spark):
+    """A piece carries the FULL segment's endpoints; at high zooms a long
+    segment's far endpoint exceeds int32 in tile-local pixels. The blob
+    layout is int32, so assembly must SATURATE (clamped far outside the
+    window — consumers clip) instead of silently wrapping to a bogus
+    in-window coordinate (ADVICE r6)."""
+    from coords_spark.kernels import geomblob
+    from coords_spark.operators import render
+
+    # 210-degree 2-point way; tp=65536 keeps the piece explode small while
+    # scale = tp << zoom = 2^32 pushes the far endpoint's tile-local x to
+    # ~2.5e9 > int32 max. (The span stays under ~2^31.5 — the fan-out's
+    # own int64 domain limit: its exact floor-division multiplies
+    # span * sample_index.)
+    zoom, tp = 16, 65536
+    ways = spark.createDataFrame(
+        [(1, [{"node_id": 1, "lat": 0, "lon": int(-179.0e7)},
+              {"node_id": 2, "lat": int(0.5e7), "lon": int(31.0e7)}])],
+        "way_id bigint, pts array<struct<node_id: bigint, lat: int, lon: int>>",
+    )
+    bbox = (int(-1.0e7), int(-179.5e7), int(1.0e7), int(-178.5e7))
+    rows = render.vector_tiles(spark, None, bbox, zoom, tp, ways=ways).collect()
+    assert rows
+    hi = (1 << 31) - 1
+    saturated = False
+    for r in rows:
+        pos = 0
+        buf = bytes(r["payload"])
+        while pos < len(buf):
+            gtype, gid, rings, tags = geomblob.decode_geom(buf[pos:])
+            for ys, xs in rings:
+                for v in np.concatenate([ys.astype(np.int64), xs.astype(np.int64)]):
+                    assert -(1 << 31) <= v <= hi
+                    if v == hi:
+                        saturated = True
+            # advance: recompute blob length from its rings/tags
+            import struct as _st
+            ln = _st.calcsize("<Bqi")
+            for ring in rings:
+                ln += 4 + 8 * len(ring[0])
+            ln += 4
+            for k, v2 in tags:
+                ln += 4 + len(k.encode()) + len(v2.encode())
+            pos += ln
+    # the east endpoint is ~2^32 px from the west tile: must have clamped
+    assert saturated
