@@ -2556,6 +2556,13 @@ def osc_update_render_stats(spark, sf):
         split = tiling.compute_split_set(g, max_bytes=4 * 1024)
         way_table = f"{tmp}/waychunks"
         update.build_way_chunk_table(spark, nodes, ways, way_table, split)
+        # r7: persistent node->ways reverse index — the batches below plan
+        # O(diff) (pruned lookups), results byte-identical to the legacy
+        # full-explode path (pinned by tests/test_odiff.py)
+        from coords_spark.operators import rindex as RI
+
+        rindex_nw = f"{tmp}/rindex_nw"
+        RI.build_rindex_store(spark, ways.select("id", "refs"), rindex_nw, id_shift=6)
 
         dirty_table = f"{tmp}/dirtytiles"
         for i, batch in enumerate((b1, b2)):
@@ -2571,6 +2578,7 @@ def osc_update_render_stats(spark, sf):
                 None,
                 group=f"diff-{i}",
                 dirty_table=dirty_table,
+                rindex_store=rindex_nw,
             )
 
         dirty_base = (
@@ -2650,6 +2658,26 @@ def update_stream_apply(spark, sf):
         update.build_relation_chunk_table(
             spark, rels, resolve.resolve_ways(ways, nodes), rel_table, split
         )
+        # r7: both persistent reverse indexes (node->ways, way->relations)
+        # — the O(diff) blast-radius path; byte-identical results pinned by
+        # tests/test_odiff.py
+        from coords_spark.operators import rindex as RI
+
+        rindex_nw, rindex_wr = f"{tmp}/rindex_nw", f"{tmp}/rindex_wr"
+        RI.build_rindex_store(spark, ways.select("id", "refs"), rindex_nw, id_shift=6)
+        RI.build_rindex_store(
+            spark,
+            rels.select(
+                "id",
+                F.expr(
+                    "transform(filter(members, m -> m.mtype = 1), m -> m.ref)"
+                ).alias("refs"),
+            ),
+            rindex_wr,
+            ref_col="way_id",
+            ids_col="relation_ids",
+            id_shift=4,
+        )
         for i, rows in enumerate((b1, b2)):
             US.apply_diff_batch(
                 spark,
@@ -2660,6 +2688,8 @@ def update_stream_apply(spark, sf):
                 way_table,
                 rel_table,
                 group=f"diff-{i}",
+                rindex_store=rindex_nw,
+                rel_rindex_store=rindex_wr,
             )
         pt_sum = "aggregate({c}, 0L, (a, p) -> a + p.lat + p.lon)"
         layers = [

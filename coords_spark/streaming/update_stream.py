@@ -78,10 +78,24 @@ def apply_diff_batch(
     dirty_table: str | None = None,
     dirty_zoom: int = 12,
     dirty_min_zoom: int = 9,
+    rindex_store: str | None = None,
+    rel_rindex_store: str | None = None,
 ) -> dict:
     """Apply ONE diff batch everywhere; shared by the streaming sink and
     batch callers (stream==batch cannot drift). Idempotent per table via
-    the committed-group ledger. Returns per-table stats."""
+    the committed-group ledger. Returns per-table stats.
+
+    O(diff) posture (VERDICT r6 ask #1): every store read in this function
+    is id-range-PRUNED to the batch's blast radius
+    (entity_store.read_entities_for_ids — O(diff ids / 2^shift) files),
+    and with `rindex_store` / `rel_rindex_store` (persistent reverse-index
+    entity stores, operators/rindex.py, maintained in this same ledgered
+    batch) the blast radius itself derives from pruned index lookups —
+    NOTHING in the per-batch plan scans a full table anymore. Without the
+    index stores the blast radius falls back to exploding the full
+    ways/relations store (correct, table-proportional — pre-r7 behavior).
+    Results are byte-identical either way; `stats['files_read']` reports
+    the per-step pruned file counts so tests can pin the O(diff) claim."""
     # consolidate to one final state per (kind, id): replication intervals
     # are already consolidated upstream (one row per changed entity, OSC
     # semantics), but a merged/late batch may carry several versions —
@@ -112,6 +126,51 @@ def apply_diff_batch(
     )
     rel_del = _ids(b.filter((F.col("kind") == KIND_REL) & (F.col("action") == "delete")))
 
+    files_read: dict = {}
+    stats["files_read"] = files_read
+    node_ch = node_up.select("id").unionAll(node_del).distinct().localCheckpoint()
+    way_ch = way_up.select("id").unionAll(way_del).distinct().localCheckpoint()
+
+    # PRE-diff rows of the diff's own ways/relations, captured before any
+    # store moves (pruned reads — diff-bounded): the reverse-index upserts
+    # need the OLD refs, and the dirty log needs pre-diff geometry.
+    def _pruned_rows(store: str, ids: DataFrame, tag: str) -> DataFrame:
+        rows, n = ES.read_entities_for_ids(spark, store, ids)
+        files_read[tag] = n
+        return rows.join(F.broadcast(ids), "id", "semi")
+
+    way_old = _pruned_rows(ways_store, way_ch, "way_old").select(
+        "id", "refs"
+    ).localCheckpoint()
+
+    def _ways_hit_pre(changed_nodes: DataFrame) -> DataFrame:
+        """(way_id) referencing a changed node in the PRE state: a pruned
+        reverse-index lookup when the store exists, else a full explode of
+        the ways store (legacy, table-proportional)."""
+        if rindex_store is not None:
+            from coords_spark.operators import rindex as RI
+
+            hit, n = RI.rindex_lookup(spark, rindex_store, changed_nodes)
+            files_read["rindex_lookup"] = n
+            return hit.withColumnRenamed(hit.columns[0], "way_id")
+        ways0 = ES.read_entity_store(spark, ways_store)
+        return (
+            ways0.select(F.col("id").alias("way_id"), F.explode("refs").alias("nid"))
+            .join(F.broadcast(node_ch.withColumnRenamed("id", "nid")), "nid")
+            .select("way_id")
+        )
+
+    # ways whose geometry this batch can change: referencing a changed
+    # node (pre-state hit; an unchanged way keeps its refs, so post-state
+    # hits add nothing new) ∪ the way diff itself
+    hit_pre = _ways_hit_pre(node_ch)
+    aff_way_ids = (
+        hit_pre.unionAll(way_ch.withColumnRenamed("id", "way_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    aff_ids = aff_way_ids.withColumnRenamed("way_id", "id")
+
     # -- 0. tile-expiry log (MUST commit before the stores: the dirty set
     # needs the PRE-diff geometry, so a replay after a store commit could
     # not recompute it — commit-dirty-first makes every crash window
@@ -127,29 +186,31 @@ def apply_diff_batch(
         if group in dt.committed_groups():
             stats["dirty_tiles"] = "replayed"
         else:
-            nodes0 = ES.read_entity_store(spark, nodes_store).select("id", "lat", "lon")
-            ways0 = ES.read_entity_store(spark, ways_store).select("id", "refs")
-            node_ch = node_up.select("id").unionAll(node_del)
-            way_ch = way_up.select("id").unionAll(way_del)
-            post_n = nodes0.join(node_ch, "id", "anti").unionByName(
+            ways0_aff = _pruned_rows(ways_store, aff_ids, "dirty_ways").select(
+                "id", "refs"
+            ).localCheckpoint()
+            # node files that can hold any ref of the affected ways' OLD
+            # or NEW geometry (the union bounds the resolve either side)
+            ref_ids = (
+                ways0_aff.select(F.explode("refs").alias("id"))
+                .unionAll(
+                    way_up.join(F.broadcast(aff_ids), "id", "semi").select(
+                        F.explode("refs").alias("id")
+                    )
+                )
+                .distinct()
+            )
+            nodes0_aff, n = ES.read_entities_for_ids(spark, nodes_store, ref_ids)
+            files_read["dirty_nodes"] = n
+            nodes0_aff = nodes0_aff.select("id", "lat", "lon")
+            post_n = nodes0_aff.join(node_ch, "id", "anti").unionByName(
                 node_up.select("id", "lat", "lon")
             )
-            post_w = ways0.join(way_ch, "id", "anti").unionByName(
-                way_up.select("id", "refs")
+            post_w = ways0_aff.join(way_ch, "id", "anti").unionByName(
+                way_up.join(F.broadcast(aff_ids), "id", "semi").select("id", "refs")
             )
-            hit = (
-                ways0.unionByName(post_w)
-                .select(F.col("id").alias("way_id"), F.explode("refs").alias("nid"))
-                .join(F.broadcast(node_ch.withColumnRenamed("id", "nid")), "nid")
-                .select("way_id")
-            )
-            aff_id = (
-                hit.unionAll(way_ch.withColumnRenamed("id", "way_id"))
-                .distinct()
-                .withColumnRenamed("way_id", "id")
-            )
-            old_geom = resolve.resolve_ways(ways0.join(aff_id, "id", "semi"), nodes0)
-            new_geom = resolve.resolve_ways(post_w.join(aff_id, "id", "semi"), post_n)
+            old_geom = resolve.resolve_ways(ways0_aff, nodes0_aff)
+            new_geom = resolve.resolve_ways(post_w, post_n)
             dirty = _dirty_tiles(
                 old_geom.unionByName(new_geom), dirty_zoom, dirty_min_zoom
             ).withColumn("batch_group", F.lit(group))
@@ -158,7 +219,16 @@ def apply_diff_batch(
             entries = dt.commit_staged(stage, group=group, chunk_col="tile_x")
             stats["dirty_tiles"] = int(sum(e["rows"] for e in entries))
 
-    # -- 1. entity stores (order irrelevant between kinds; each atomic) ----
+    # -- 1. entity stores (order irrelevant between kinds; each atomic,
+    # each an arithmetic-chunk bounded rewrite) ---------------------------
+    rel_old = None
+    if rel_rindex_store is not None:
+        rel_ch = rel_up.select("id").unionAll(rel_del).distinct()
+        rel_old = (
+            _pruned_rows(rels_store, rel_ch, "rel_old")
+            .select("id", _member_way_refs().alias("refs"))
+            .localCheckpoint()
+        )
     for path, up, dele, name in (
         (nodes_store, node_up, node_del, "nodes"),
         (ways_store, way_up, way_del, "ways"),
@@ -169,43 +239,66 @@ def apply_diff_batch(
             continue
         stats[name] = ES.upsert_entities(spark, path, up, dele, group=group)
 
-    nodes = ES.read_entity_store(spark, nodes_store)
-    ways = ES.read_entity_store(spark, ways_store)
+    # -- 1.5 reverse-index maintenance (same ledgered batch; a replay may
+    # see post-diff rows as way_old → superset entries, safe by the rindex
+    # module invariant) ----------------------------------------------------
+    if rindex_store is not None:
+        from coords_spark.operators import rindex as RI
 
-    # -- 2/3. derived way-chunk table: blast radius re-resolve -------------
-    changed_nodes = node_up.select("id").unionAll(node_del).distinct()
-    # reverse index from the CURRENT ways store (J3); the diff side is
-    # small — broadcast it into the explode-join
-    ways_hit = (
-        ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("node_id"))
-        .join(F.broadcast(changed_nodes.withColumnRenamed("id", "node_id")), "node_id")
-        .select("way_id")
-    )
-    aff_way_ids = (
-        ways_hit.unionAll(way_up.select(F.col("id").alias("way_id")))
-        .distinct()
-        .localCheckpoint()
-    )
+        stats["rindex"] = RI.upsert_rindex(
+            spark,
+            rindex_store,
+            way_old,
+            way_up.select("id", "refs"),
+            way_del,
+            group=group,
+        )
+    if rel_rindex_store is not None:
+        from coords_spark.operators import rindex as RI
+
+        stats["rel_rindex"] = RI.upsert_rindex(
+            spark,
+            rel_rindex_store,
+            rel_old,
+            rel_up.select("id", _member_way_refs().alias("refs")),
+            rel_del,
+            group=group,
+        )
+
+    # -- 2/3. derived way-chunk table: blast radius re-resolve (pruned:
+    # the store already holds the post-diff rows, so the "diff" for the
+    # derived table is every affected way's CURRENT row) -------------------
     if way_table is not None:
         if group in IcepickTable(way_table).committed_groups():
             stats["way_chunks"] = "replayed"
         else:
-            # the store already holds the post-diff rows: the "diff" for the
-            # derived table is every affected way's CURRENT row
-            ways_diff = ways.join(
-                aff_way_ids.withColumnRenamed("way_id", "id"), "id", "semi"
-            )
+            ways_diff = _pruned_rows(ways_store, aff_ids, "way_rows")
+            node_ids = ways_diff.select(F.explode("refs").alias("id")).distinct()
+            nodes_aff, n = ES.read_entities_for_ids(spark, nodes_store, node_ids)
+            files_read["way_nodes"] = n
             stats["way_chunks"] = update.apply_way_diff(
-                spark, way_table, nodes, ways_diff, deleted_way_ids=way_del, group=group
+                spark,
+                way_table,
+                nodes_aff,
+                ways_diff,
+                deleted_way_ids=way_del,
+                group=group,
             )
 
     # -- 4. derived multipolygon table: relation blast radius --------------
     if rel_table is not None:
-        rels = ES.read_entity_store(spark, rels_store)
         changed_ways = aff_way_ids.unionAll(
             way_del.withColumnRenamed("id", "way_id")
         ).distinct()
-        rel_hit = update.affected_relation_ids(rels, changed_ways)
+        if rel_rindex_store is not None:
+            from coords_spark.operators import rindex as RI
+
+            rel_hit, n = RI.rindex_lookup(spark, rel_rindex_store, changed_ways)
+            files_read["rel_rindex_lookup"] = n
+            rel_hit = rel_hit.withColumnRenamed(rel_hit.columns[0], "relation_id")
+        else:
+            rels_all = ES.read_entity_store(spark, rels_store)
+            rel_hit = update.affected_relation_ids(rels_all, changed_ways)
         aff_rel_ids = (
             rel_hit.unionAll(rel_up.select(F.col("id").alias("relation_id")))
             .distinct()
@@ -214,8 +307,9 @@ def apply_diff_batch(
         if group in IcepickTable(rel_table).committed_groups():
             stats["rel_chunks"] = "replayed"
         else:
-            rels_diff = rels.join(
-                aff_rel_ids.withColumnRenamed("relation_id", "id"), "id", "semi"
+            rels_diff = _pruned_rows(
+                rels_store, aff_rel_ids.withColumnRenamed("relation_id", "id"),
+                "rel_rows",
             )
             # resolve ONLY the member ways of affected relations — the
             # radius-proportional subset, with post-diff node geometry
@@ -225,9 +319,11 @@ def apply_diff_batch(
                 .select(F.col("m.ref").alias("id"))
                 .distinct()
             )
-            resolved = resolve.resolve_ways(
-                ways.join(member_ways, "id", "semi"), nodes
-            )
+            mways = _pruned_rows(ways_store, member_ways, "rel_member_ways")
+            mnode_ids = mways.select(F.explode("refs").alias("id")).distinct()
+            mnodes, n = ES.read_entities_for_ids(spark, nodes_store, mnode_ids)
+            files_read["rel_member_nodes"] = n
+            resolved = resolve.resolve_ways(mways, mnodes)
             stats["rel_chunks"] = update.apply_relation_diff(
                 spark,
                 rel_table,
@@ -237,6 +333,12 @@ def apply_diff_batch(
                 group=group,
             )
     return stats
+
+
+def _member_way_refs():
+    """Column: a relation's way-member ids as a refs array (the parent-refs
+    shape upsert_rindex expects)."""
+    return F.expr("transform(filter(members, m -> m.mtype = 1), m -> m.ref)")
 
 
 def stream_apply_diffs(
@@ -250,12 +352,15 @@ def stream_apply_diffs(
     dirty_table: str | None = None,
     dirty_zoom: int = 12,
     dirty_min_zoom: int = 9,
+    rindex_store: str | None = None,
+    rel_rindex_store: str | None = None,
 ):
     """Start the continuous update query. Each micro-batch is one diff
     interval applied atomically-per-table with replay-safe skips. With
     `dirty_table`, each batch also appends its tile-expiry work list
     (render.dirty_tiles over the batch's blast radius) — the re-render
-    feed for a downstream tile sink."""
+    feed for a downstream tile sink. With the reverse-index stores, every
+    batch plans O(diff) (see apply_diff_batch)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_diff_batch(
@@ -270,6 +375,8 @@ def stream_apply_diffs(
             dirty_table=dirty_table,
             dirty_zoom=dirty_zoom,
             dirty_min_zoom=dirty_min_zoom,
+            rindex_store=rindex_store,
+            rel_rindex_store=rel_rindex_store,
         )
 
     return (
