@@ -2177,6 +2177,33 @@ def pbf_create_tiles_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("geo_render_polygons", None)
+def geo_render_polygons(spark, sf):
+    """Filled multipolygon raster tiles (VERDICT r6 ask #3): the shared
+    relation fixture assembles through J2 + T8 (resolve_relation_members ->
+    reconstruct_multipolygons), then render_polygon_tiles fills each
+    viewport tile by the scanline even/odd integer rule
+    (kernels/raster.py fill_rings — holes via parity, overlapping polygons
+    OR). Output pins tile membership (outer-envelope rect), polygon
+    fan-out, filled pixel counts AND the exact mask bytes (crc32). Golden
+    twin: an independent per-scanline threshold-sort fill in
+    tools/gen_goldens.py (the fill rule's third lockstep copy)."""
+    from coords_spark.fixtures import gen_relations
+    from coords_spark.operators import multipolygon, render, resolve
+
+    relations, ring_ways = gen_relations(60)
+    rel_df = spark.createDataFrame(relations)
+    rw_df = spark.createDataFrame(ring_ways).select(F.col("id").alias("way_id"), "pts")
+    members = resolve.resolve_relation_members(rel_df, rw_df)
+    mp = multipolygon.reconstruct_multipolygons(members)
+    bbox = (int(-85.0e7), int(-179.9e7), int(85.0e7), int(179.9e7))
+    return (
+        render.render_polygon_tiles(spark, None, bbox, zoom=7, polys=mp)
+        .select("tile_x", "tile_y", "n_polys", "n_px", "px_crc")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 @_q("geo_render_raster", None)
 def geo_render_raster(spark, sf):
     """Raster tile render end-to-end (E3's true last mile): chunk table ->

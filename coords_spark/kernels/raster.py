@@ -107,3 +107,109 @@ def segment_pieces(a: int, b: int, c: int, d: int, s: int = 256):
             a + ((c - a) * k_hi) // n1c,
             b + ((d - b) * k_hi) // n1c,
         )
+
+
+# ---------------------------------------------------------------------------
+# polygon FILL (VERDICT r6 ask #3) — scanline even/odd over integer pixels
+# ---------------------------------------------------------------------------
+#
+# Fill rule (INTEGER math only; THREE lockstep copies — this vectorized
+# kernel, fill_rings_scalar below, and the golden twin in
+# tools/gen_goldens.py — change all or none):
+#
+#     pixel (px, py) of the tile is FILLED iff the integer point (px, py)
+#     is inside the polygon under the even/odd rule with the half-open
+#     crossing convention of kernels/pip.py:
+#       for each ring edge (x0,y0)->(x1,y1), rings implicitly closed:
+#         straddles iff (y0 > py) != (y1 > py)
+#         crossing counts iff px < x_int, x_int = x0 + (x1-x0)(py-y0)/(y1-y0)
+#     evaluated EXACTLY: with den = y1-y0 normalized positive,
+#       px < x_int  <=>  px <= x0 + ceil(num/den) - 1,  num = (x1-x0)(py-y0)
+#     parity over ALL rings of one polygon (outer + holes) — even/odd
+#     handles holes with no special casing.
+#
+# Coordinates are tile-local int64 pixels (global minus tile origin; the
+# parity test is translation-invariant). Horizontal edges never straddle.
+
+
+def fill_rings(rings, w: int = 256, h: int = 256) -> np.ndarray:
+    """Vectorized fill of ONE polygon (outer ring + holes) into an (h, w)
+    uint8 mask. `rings`: sequence of (xs, ys) int arrays (tile-local).
+    One (edge, straddled-row) pair enumeration (repeat/cumsum), one exact
+    integer threshold per pair, suffix-sum parity per row — no per-pixel
+    Python."""
+    ex0, ey0, ex1, ey1 = [], [], [], []
+    for xs, ys in rings:
+        xs = np.asarray(xs, dtype=np.int64)
+        ys = np.asarray(ys, dtype=np.int64)
+        if xs.size < 2:
+            continue
+        ex0.append(xs)
+        ey0.append(ys)
+        ex1.append(np.roll(xs, -1))
+        ey1.append(np.roll(ys, -1))
+    img = np.zeros((h, w), np.uint8)
+    if not ex0:
+        return img
+    x0 = np.concatenate(ex0)
+    y0 = np.concatenate(ey0)
+    x1 = np.concatenate(ex1)
+    y1 = np.concatenate(ey1)
+    keep = y0 != y1
+    x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+    if x0.size == 0:
+        return img
+    # rows straddled by each edge under the half-open rule: [min, max) —
+    # clipped to the tile's row range
+    lo = np.clip(np.minimum(y0, y1), 0, h)
+    hi = np.clip(np.maximum(y0, y1), 0, h)
+    cnt = np.maximum(hi - lo, 0)
+    if int(cnt.sum()) == 0:
+        return img
+    off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    eidx = np.repeat(np.arange(cnt.size), cnt)
+    py = np.arange(int(cnt.sum()), dtype=np.int64) - off[eidx] + lo[eidx]
+    num = (x1 - x0)[eidx] * (py - y0[eidx])
+    den = (y1 - y0)[eidx]
+    neg = den < 0
+    num[neg] = -num[neg]
+    den[neg] = -den[neg]
+    # smallest px NOT strictly left of the intersection; toggles px < T
+    T = x0[eidx] + -(-num // den)
+    idx = np.clip(T, 0, w)
+    ends = np.zeros((h, w + 1), np.int64)
+    np.add.at(ends, (py, idx), 1)
+    # count[py, px] = #edges whose threshold exceeds px = suffix sum
+    suffix = np.cumsum(ends[:, ::-1], axis=1)[:, ::-1]
+    img[(suffix[:, 1:] & 1) == 1] = 255
+    return img
+
+
+def fill_rings_scalar(rings, w: int = 256, h: int = 256) -> np.ndarray:
+    """Per-pixel per-edge Python loop stating the fill rule directly — the
+    unit test pins the vectorized kernel against it (the golden generator
+    keeps its own third copy, decomposed by scanline)."""
+    img = np.zeros((h, w), np.uint8)
+    edges = []
+    for xs, ys in rings:
+        n = len(xs)
+        if n < 2:
+            continue
+        for i in range(n):
+            j = (i + 1) % n
+            edges.append((int(xs[i]), int(ys[i]), int(xs[j]), int(ys[j])))
+    for py in range(h):
+        for px in range(w):
+            cross = 0
+            for x0, y0, x1, y1 in edges:
+                if (y0 > py) != (y1 > py):
+                    num = (x1 - x0) * (py - y0)
+                    den = y1 - y0
+                    if den < 0:
+                        num, den = -num, -den
+                    # px < x0 + num/den, exactly
+                    if (px - x0) * den < num:
+                        cross += 1
+            if cross & 1:
+                img[py, px] = 255
+    return img

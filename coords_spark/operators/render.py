@@ -823,3 +823,216 @@ def vector_tiles(
         "tile_x", "tile_y", "n_ways", "v.n_geoms", "v.n_segs",
         "v.payload_crc", "v.payload",
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon FILL rendering (VERDICT r6 ask #3) — multipolygon chunk tables
+# reach tiles as filled areas, not just outlines
+# ---------------------------------------------------------------------------
+
+
+def _poly_rings(polys: DataFrame, scale: int) -> DataFrame:
+    """(relation_id, poly_idx, outer, inners) -> one row per RING with
+    projected global pixel coords: ring 0 = outer, 1.. = holes. One Arrow
+    exchange (only ring coords ship); the concat/posexplode stays inline
+    with its generator (CLAUDE.md)."""
+    return polys.select(
+        "relation_id",
+        "poly_idx",
+        F.expr("posexplode(concat(array(outer), inners))").alias("ring_idx", "ring"),
+    ).select(
+        "relation_id",
+        "poly_idx",
+        "ring_idx",
+        _pix_udf(scale)(F.col("ring")).alias("gp"),
+    )
+
+
+def render_polygon_tiles(
+    spark,
+    table_path: str | None,
+    bbox,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+    polys: DataFrame | None = None,
+) -> DataFrame:
+    """Filled multipolygon raster tiles — the render path for T8 output
+    (relation chunk tables): one row per viewport tile with (tile_x,
+    tile_y, n_polys, n_px, px_crc, payload), masks filled by the scanline
+    even/odd rule (kernels/raster.py fill_rings; holes via parity,
+    overlapping POLYGONS combine by OR so one relation can never punch a
+    hole in another).
+
+    Tile membership is the polygon's OUTER-ring envelope rect — unlike
+    lines, a fill legitimately touches every interior tile (a tile wholly
+    inside the polygon gets a full mask), so the fan-out is
+    O(covered tiles) by semantics, and each tile receives the polygon's
+    ring coordinates once. Plan: one Arrow projection exchange, JVM
+    envelope + tile explode, ONE shuffle keyed by viewport tile, fill
+    where the groups land; payload bytes never round-trip.
+
+    Input: a relation chunk table path (manifest cover-range pruning +
+    first-outer-vertex viewport anchor, mirroring the way-table S5 read)
+    or a pre-assembled `polys` DataFrame."""
+    import zlib
+
+    from coords_spark.kernels import zcurve
+
+    scale = tile_px << zoom
+    tp = tile_px
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    if polys is None:
+        from coords_spark.sources.icepick import IcepickTable
+
+        lat0, lon0, lat1, lon1 = bbox
+        lat0, lat1 = min(lat0, lat1), max(lat0, lat1)
+        lon0, lon1 = min(lon0, lon1), max(lon0, lon1)
+        gx0, gy0, gx1, gy1 = ingest.bbox_grid(lat0, lon0, lat1, lon1)
+        ranges = zcurve.bbox_cover_ranges(gx0, gy0, gx1, gy1, zoom, max_level=base_level)
+        t = IcepickTable(table_path)
+        paths = t.data_paths_ranges(ranges)
+        if paths:
+            polys = spark.read.parquet(*paths)
+        else:
+            polys = spark.createDataFrame([], t.spark_schema())
+        polys = polys.filter(
+            F.expr("element_at(outer, 1).lat").between(lat0, lat1)
+            & F.expr("element_at(outer, 1).lon").between(lon0, lon1)
+        ).select("relation_id", "poly_idx", "outer", "inners")
+
+    rings = _poly_rings(polys, scale)
+    env = (
+        rings.filter(F.col("ring_idx") == 0)
+        .select(
+            "relation_id",
+            "poly_idx",
+            F.expr(f"greatest(array_min(transform(gp, p -> p.gx)) div {tp}, {tx0})").alias("a"),
+            F.expr(f"least(array_max(transform(gp, p -> p.gx)) div {tp}, {tx1})").alias("b"),
+            F.expr(f"greatest(array_min(transform(gp, p -> p.gy)) div {tp}, {ty0})").alias("c"),
+            F.expr(f"least(array_max(transform(gp, p -> p.gy)) div {tp}, {ty1})").alias("d"),
+        )
+        # guard BEFORE sequence: sequence(1, 0) descends (CLAUDE.md)
+        .filter("a <= b AND c <= d")
+    )
+    tiles = env.select(
+        "relation_id",
+        "poly_idx",
+        F.expr(
+            "explode(flatten(transform(sequence(a, b), tx -> "
+            "transform(sequence(c, d), ty -> struct(tx AS tx, ty AS ty))))) AS t"
+        ),
+    ).select("relation_id", "poly_idx", "t.tx", "t.ty")
+    per_tile = tiles.join(rings, ["relation_id", "poly_idx"]).select(
+        "tx",
+        "ty",
+        F.struct(
+            "relation_id",
+            "poly_idx",
+            "ring_idx",
+            F.expr(
+                f"transform(gp, p -> struct(p.gx - tx * {tp} AS x, "
+                f"p.gy - ty * {tp} AS y))"
+            ).alias("lp"),
+        ).alias("r"),
+    )
+    grouped = per_tile.groupBy("tx", "ty").agg(
+        F.count_distinct(F.expr("struct(r.relation_id, r.poly_idx)")).alias("n_polys"),
+        F.array_sort(F.collect_list("r")).alias("rings"),
+    )
+
+    @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
+    def _fill(rings_col: pa.Array) -> pa.Array:
+        import zlib as _z
+
+        if isinstance(rings_col, pa.ChunkedArray):
+            rings_col = rings_col.combine_chunks()
+        n_px_l, crcs, payloads = [], [], []
+        for group in rings_col.to_pylist():
+            img = np.zeros((tp, tp), np.uint8)
+            i, n = 0, len(group)
+            while i < n:
+                j = i
+                key = (group[i]["relation_id"], group[i]["poly_idx"])
+                poly_rings = []
+                while j < n and (group[j]["relation_id"], group[j]["poly_idx"]) == key:
+                    lp = group[j]["lp"]
+                    poly_rings.append(
+                        (
+                            np.array([p["x"] for p in lp], dtype=np.int64),
+                            np.array([p["y"] for p in lp], dtype=np.int64),
+                        )
+                    )
+                    j += 1
+                np.maximum(img, raster.fill_rings(poly_rings, tp, tp), out=img)
+                i = j
+            n_px_l.append(int(np.count_nonzero(img)))
+            crcs.append(_z.crc32(img.tobytes()))
+            payloads.append(
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+            )
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(n_px_l, pa.int64()),
+                pa.array(crcs, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["n_px", "px_crc", "payload"],
+        )
+
+    return grouped.select(
+        F.col("tx").cast("long").alias("tile_x"),
+        F.col("ty").cast("long").alias("tile_y"),
+        F.col("n_polys").cast("long").alias("n_polys"),
+        _fill(F.col("rings")).alias("r"),
+    ).select("tile_x", "tile_y", "n_polys", "r.n_px", "r.px_crc", "r.payload")
+
+
+def dirty_polygon_tiles(
+    changed_polys: DataFrame,
+    zoom: int,
+    min_zoom: int | None = None,
+    tile_px: int = 256,
+) -> DataFrame:
+    """Tile-expiry set for a POLYGON update batch: every tile the filled
+    area can touch — the OUTER-ring envelope rect, NOT just outline tiles
+    (a polygon edit must re-render interior tiles too; holes live inside
+    the outer envelope so they add nothing). Caller unions pre-diff and
+    post-diff (relation_id, poly_idx, outer, inners) rows, deleted
+    polygons included with their pre-diff geometry. Ancestors down to
+    min_zoom exactly like dirty_tiles."""
+    if min_zoom is None:
+        min_zoom = zoom
+    tp = tile_px
+    rings = _poly_rings(changed_polys, tp << zoom)
+    base = (
+        rings.filter(F.col("ring_idx") == 0)
+        .select(
+            F.expr(f"array_min(transform(gp, p -> p.gx)) div {tp}").alias("a"),
+            F.expr(f"array_max(transform(gp, p -> p.gx)) div {tp}").alias("b"),
+            F.expr(f"array_min(transform(gp, p -> p.gy)) div {tp}").alias("c"),
+            F.expr(f"array_max(transform(gp, p -> p.gy)) div {tp}").alias("d"),
+        )
+        .select(
+            F.expr(
+                "explode(flatten(transform(sequence(a, b), tx -> "
+                "transform(sequence(c, d), ty -> struct(tx AS tx, ty AS ty))))) AS t"
+            )
+        )
+        .select("t.tx", "t.ty")
+        .distinct()
+    )
+    return (
+        base.select(
+            F.explode(F.sequence(F.lit(min_zoom), F.lit(zoom))).alias("zoom"),
+            "tx",
+            "ty",
+        )
+        .select(
+            F.col("zoom").cast("long").alias("zoom"),
+            F.expr(f"shiftright(tx, cast({zoom} - zoom AS int))").cast("long").alias("tile_x"),
+            F.expr(f"shiftright(ty, cast({zoom} - zoom AS int))").cast("long").alias("tile_y"),
+        )
+        .distinct()
+    )

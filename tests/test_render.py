@@ -726,3 +726,153 @@ def test_vector_tiles_int32_saturation(spark):
             pos += ln
     # the east endpoint is ~2^32 px from the west tile: must have clamped
     assert saturated
+
+
+def test_fill_rings_kernel_lockstep():
+    """Vectorized scanline fill == per-pixel scalar statement, random
+    polygons incl. holes, degenerate and horizontal-edge shapes."""
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        rings = []
+        for _ in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(3, 9))
+            rings.append(
+                (rng.integers(-40, 90, n), rng.integers(-40, 90, n))
+            )
+        a = raster.fill_rings(rings, 64, 64)
+        b = raster.fill_rings_scalar(rings, 64, 64)
+        assert (a == b).all(), trial
+    # square with hole: interior of hole empty, annulus filled
+    outer = (np.array([8, 56, 56, 8]), np.array([8, 8, 56, 56]))
+    inner = (np.array([24, 40, 40, 24]), np.array([24, 24, 40, 40]))
+    m = raster.fill_rings([outer, inner], 64, 64)
+    assert m[32, 32] == 0 and m[16, 16] == 255 and m[4, 4] == 0
+    assert (m == raster.fill_rings_scalar([outer, inner], 64, 64)).all()
+    # horizontal-only ring fills nothing; <2 points ignored
+    assert raster.fill_rings([(np.array([0, 60]), np.array([30, 30]))], 64, 64).sum() == 0
+    assert raster.fill_rings([(np.array([5]), np.array([5]))], 64, 64).sum() == 0
+
+
+def _poly_fixture(spark, n_rel=15):
+    from coords_spark.fixtures import gen_relations
+    from coords_spark.operators import multipolygon, resolve
+
+    relations, ring_ways = gen_relations(n_rel)
+    rel_df = spark.createDataFrame(relations)
+    rw_df = spark.createDataFrame(ring_ways).select(
+        F.col("id").alias("way_id"), "pts"
+    )
+    members = resolve.resolve_relation_members(rel_df, rw_df)
+    return (
+        multipolygon.reconstruct_multipolygons(members).localCheckpoint(),
+        relations,
+        ring_ways,
+    )
+
+
+def test_render_polygon_tiles_interior_filled(spark):
+    """A rectangle spanning several tiles: tiles wholly inside the
+    polygon get FULL masks (fills are not outlines), the payload decodes
+    back to the mask, and holes punch through."""
+    from coords_spark.operators import render
+
+    # big lat/lon rectangle with a hole, zoom 6 -> spans multiple tiles
+    def ring(lat0, lon0, lat1, lon1):
+        return [
+            {"lat": lat0, "lon": lon0}, {"lat": lat0, "lon": lon1},
+            {"lat": lat1, "lon": lon1}, {"lat": lat1, "lon": lon0},
+        ]
+
+    polys = spark.createDataFrame(
+        [
+            (
+                1, 0,
+                ring(int(-30e7), int(-60e7), int(45e7), int(60e7)),
+                [ring(int(5e7), int(-10e7), int(15e7), int(10e7))],
+            )
+        ],
+        "relation_id long, poly_idx int, "
+        "outer array<struct<lat:int,lon:int>>, "
+        "inners array<array<struct<lat:int,lon:int>>>",
+    )
+    bbox = (int(-85e7), int(-179.9e7), int(85e7), int(179.9e7))
+    zoom, tp = 6, 256
+    rows = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_polygon_tiles(
+            spark, None, bbox, zoom, tp, polys=polys
+        ).collect()
+    }
+    assert rows
+    full = [k for k, r in rows.items() if r["n_px"] == tp * tp]
+    assert full, "no fully-interior tile got a full mask"
+    # payload roundtrip on one tile
+    k, r = next(iter(rows.items()))
+    img = codec.decode_image(bytes(r["payload"]), "pngz", tp, tp)
+    assert int(np.count_nonzero(img[:, :, 0])) == r["n_px"]
+    assert zlib.crc32(img[:, :, 0].tobytes()) == r["px_crc"]
+    # the hole is inside exactly one tile region: total filled < envelope area
+    assert sum(r["n_px"] for r in rows.values()) < len(rows) * tp * tp
+
+
+def test_polygon_dirty_splice_equals_rebuild(spark):
+    """The expiry invariant extended to polygon worlds: re-rendering ONLY
+    dirty_polygon_tiles' base tiles and splicing them over the pre-diff
+    tile set equals a full re-render of the post state — interior tiles
+    included (an envelope-rect dirty rule, not outline tiles)."""
+    from coords_spark.operators import multipolygon, render, resolve
+
+    mp1, relations, ring_ways = _poly_fixture(spark, 15)
+    bbox = (int(-85e7), int(-179.9e7), int(85e7), int(179.9e7))
+    zoom = 7
+
+    def tiles_of(polys):
+        return {
+            (r["tile_x"], r["tile_y"]): (r["n_polys"], r["n_px"], r["px_crc"])
+            for r in render.render_polygon_tiles(
+                spark, None, bbox, zoom, polys=polys
+            ).collect()
+        }
+
+    t1 = tiles_of(mp1)
+
+    # move one relation's ring ways south-east -> its polygons change
+    moved_rel = relations.to_pylist()[0]["id"]
+    moved_ways = {
+        m["ref"] for m in relations.to_pylist()[0]["members"] if m["mtype"] == 1
+    }
+    rw2 = [
+        {
+            "id": w["id"],
+            "pts": [
+                {"lat": p["lat"] - int(1.3e7), "lon": p["lon"] + int(2.1e7)}
+                for p in w["pts"]
+            ]
+            if w["id"] in moved_ways
+            else w["pts"],
+        }
+        for w in ring_ways.to_pylist()
+    ]
+    rel_df = spark.createDataFrame(relations)
+    rw_df2 = spark.createDataFrame(
+        rw2, "id long, pts array<struct<lat:int,lon:int>>"
+    ).select(F.col("id").alias("way_id"), "pts")
+    mp2 = multipolygon.reconstruct_multipolygons(
+        resolve.resolve_relation_members(rel_df, rw_df2)
+    ).localCheckpoint()
+    t2_full = tiles_of(mp2)
+
+    changed = mp1.filter(F.col("relation_id") == moved_rel).unionByName(
+        mp2.filter(F.col("relation_id") == moved_rel)
+    )
+    dirty = {
+        (r["tile_x"], r["tile_y"])
+        for r in render.dirty_polygon_tiles(changed, zoom).collect()
+    }
+    assert dirty
+
+    rerendered = {
+        k: v for k, v in tiles_of(mp2).items() if k in dirty
+    }
+    spliced = {k: v for k, v in t1.items() if k not in dirty} | rerendered
+    assert spliced == t2_full

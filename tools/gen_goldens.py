@@ -844,6 +844,90 @@ def g_geo_render_pyramid(zoom: int = 8, min_zoom: int = 6):
     return ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc"], rows, {}
 
 
+def g_geo_render_polygons(zoom: int = 7, tp: int = 256):
+    """Independent scalar twin of the polygon-fill render query — the fill
+    rule's THIRD lockstep copy (kernels/raster.py holds the vectorized and
+    per-pixel scalar engine statements; this one decomposes by SCANLINE):
+    per tile, per polygon, per row, collect the exact integer crossing
+    thresholds of edges straddling the row, sort them, and a pixel is
+    inside iff the count of thresholds strictly greater than px is odd.
+    Holes are just more edges (even/odd); overlapping polygons OR."""
+    import bisect
+
+    from coords_spark.fixtures import gen_relations
+
+    bbox = (int(-85.0e7), int(-179.9e7), int(85.0e7), int(179.9e7))
+    lat0, lon0, lat1, lon1 = bbox
+    scale = tp << zoom
+
+    def pix(lat, lon):
+        ux, uy = mc.mercator_unit(lat, lon)
+        return min(int(ux * scale), scale - 1), min(int(uy * scale), scale - 1)
+
+    cx0, cy0 = pix(lat0, lon0)
+    cx1, cy1 = pix(lat1, lon1)
+    tx0, tx1 = sorted((cx0 // tp, cx1 // tp))
+    ty0, ty1 = sorted((cy0 // tp, cy1 // tp))
+
+    relations, ring_ways = (t.to_pylist() for t in gen_relations(60))
+    way_pts = {w["id"]: [(p["lat"], p["lon"]) for p in w["pts"]] for w in ring_ways}
+    polys = []  # list of ring lists, each ring = [(gx, gy), ...]
+    for rel in relations:
+        arcs = [way_pts[m["ref"]] for m in rel["members"]
+                if m["mtype"] == 1 and m["ref"] in way_pts]
+        if not arcs:
+            continue
+        for outer, holes in mc.oracle_build_polygons(arcs):
+            polys.append(
+                [[pix(la, lo) for la, lo in ring] for ring in [outer, *holes]]
+            )
+
+    tiles: dict = {}
+    for rings in polys:
+        xs = [x for x, _ in rings[0]]
+        ys = [y for _, y in rings[0]]
+        a, b = max(min(xs) // tp, tx0), min(max(xs) // tp, tx1)
+        c, d = max(min(ys) // tp, ty0), min(max(ys) // tp, ty1)
+        if a > b or c > d:
+            continue
+        for tx in range(a, b + 1):
+            for ty in range(c, d + 1):
+                tiles.setdefault((tx, ty), []).append(rings)
+
+    rows = []
+    for (tx, ty), tile_polys in sorted(tiles.items()):
+        img = np.zeros((tp, tp), np.uint8)
+        for rings in tile_polys:
+            # closed local edges of ALL this polygon's rings
+            edges = []
+            for ring in rings:
+                loc = [(x - tx * tp, y - ty * tp) for x, y in ring]
+                for (x0, y0), (x1, y1) in zip(loc, loc[1:] + loc[:1]):
+                    if y0 != y1:
+                        edges.append((x0, y0, x1, y1))
+            for py in range(tp):
+                ts = []
+                for x0, y0, x1, y1 in edges:
+                    if (y0 > py) != (y1 > py):
+                        num = (x1 - x0) * (py - y0)
+                        den = y1 - y0
+                        if den < 0:
+                            num, den = -num, -den
+                        ts.append(x0 + -(-num // den))  # px < x_int <=> px < T
+                if not ts:
+                    continue
+                ts.sort()
+                n = len(ts)
+                for px in range(tp):
+                    if (n - bisect.bisect_right(ts, px)) & 1:
+                        img[py, px] = 255
+        rows.append(
+            (tx, ty, len(tile_polys),
+             int(np.count_nonzero(img)), zlib.crc32(img.tobytes()))
+        )
+    return ["tile_x", "tile_y", "n_polys", "n_px", "px_crc"], rows, {}
+
+
 def g_geo_multipolygon_assembly():
     from coords_spark.fixtures import gen_relations
 
@@ -1468,6 +1552,7 @@ GENERATORS = {
     # must be transparent)
     "pbf_create_storage_stats": g_geo_osm_way_tiling,
     "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
+    "geo_render_polygons": g_geo_render_polygons,
     "geo_lod_tables": g_geo_lod_tables,
     "payload_decode_verify": g_payload_decode_verify,
     "dedup_minhash_lsh_pairs": g_dedup_minhash_lsh_pairs,
