@@ -2304,6 +2304,58 @@ def pyramid_table_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("vector_tile_pyramid_stats", None)
+def vector_tile_pyramid_stats(spark, sf):
+    """Per-zoom LOD vector tiles (VERDICT r6 ask #4): same world/table as
+    vector_tiles_stats, but zooms 8..6 each assemble from geometry
+    Douglas-Peucker-simplified at THAT zoom's pixel tolerance with
+    sub-pixel ways dropped (T7 composed with the vector-tile fan-out — a
+    coarse tile carries coarse geometry, the REF src/lod/ shape). The crc
+    pins the exact per-level payload bytes; golden twin: scalar DP +
+    drop rule + the shared scalar blob assembly (tools/gen_goldens.py
+    g_vector_tile_pyramid_stats)."""
+    import shutil
+    import tempfile
+
+    from coords_spark.fixtures import gen_nodes, gen_ways
+    from coords_spark.operators import geometry, render, resolve, tiling
+
+    tmp = tempfile.mkdtemp(prefix="vt_pyramid_")
+    try:
+        nodes = spark.createDataFrame(gen_nodes(4000))
+        ways = spark.createDataFrame(gen_ways(600, 4000))
+        resolved = resolve.resolve_ways(ways, nodes)
+        g = geometry.with_geometry_cell(geometry.with_envelope(resolved)).withColumn(
+            "nbytes", (F.size("pts") * 8 + 64).cast("long")
+        )
+        split = tiling.compute_split_set(
+            g, max_bytes=64 * 1024, base_level=tiling.DEFAULT_BASE_LEVEL
+        )
+        chunked = tiling.with_chunk(g, split, base_level=tiling.DEFAULT_BASE_LEVEL)
+        rows = chunked.select(
+            "way_id",
+            "cell",
+            "chunk_id",
+            "pts",
+            F.expr("pts[0].lat").alias("lat"),
+            F.expr("pts[0].lon").alias("lon"),
+        )
+        path = f"{tmp}/tiles"
+        tiling.materialize_chunk_table(rows, path, key_col="way_id")
+        bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London
+        return (
+            render.vector_tile_pyramid(spark, path, bbox, zoom=8, min_zoom=6)
+            .select(
+                "zoom", "tile_x", "tile_y", "n_ways", "n_geoms", "n_segs",
+                "payload_crc",
+            )
+            .orderBy("zoom", "tile_x", "tile_y")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_q("vector_tiles_stats", None)
 def vector_tiles_stats(spark, sf):
     """VECTOR tiles of the London viewport (the Mapnik-feed shape as a

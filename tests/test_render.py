@@ -876,3 +876,85 @@ def test_polygon_dirty_splice_equals_rebuild(spark):
     }
     spliced = {k: v for k, v in t1.items() if k not in dirty} | rerendered
     assert spliced == t2_full
+
+
+def test_vector_tile_pyramid_lod(spark, chunk_table):
+    """Per-zoom LOD vector tiles: deterministic bytes per level, all
+    levels present, and the sub-pixel drop rule holds — a way whose
+    envelope is below the 2px threshold at the coarse zoom must appear in
+    NO coarse-level blob while (generally) still appearing at the base
+    zoom."""
+    from coords_spark.kernels import geomblob
+    from coords_spark.operators import render
+
+    path, resolved_rows = chunk_table
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, min_zoom = 8, 6
+
+    # the organic fixture has no sub-2px ways even at z6; inject one whose
+    # extent (0.02 deg = 200k units) sits between z8's 2px threshold
+    # (~110k) and z6's (~440k): drawn at the base zoom, dropped at z6
+    tiny_id = 999_999
+    resolved_rows = resolved_rows + [
+        (
+            tiny_id,
+            [
+                {"node_id": 1, "lat": int(51.0e7), "lon": int(0.5e7)},
+                {"node_id": 2, "lat": int(51.0e7) + 200_000, "lon": int(0.5e7) + 150_000},
+            ],
+        )
+    ]
+    ways_df = spark.createDataFrame(
+        [(w, [{"lat": p["lat"], "lon": p["lon"]} for p in pts])
+         for w, pts in resolved_rows],
+        "way_id bigint, pts array<struct<lat:int,lon:int>>",
+    ).localCheckpoint()
+
+    def run():
+        return {
+            (r["zoom"], r["tile_x"], r["tile_y"]): (
+                r["n_ways"], r["n_geoms"], r["n_segs"], r["payload_crc"],
+                bytes(r["payload"]),
+            )
+            for r in render.vector_tile_pyramid(
+                spark, None, bbox, zoom, min_zoom, ways=ways_df
+            ).collect()
+        }
+
+    a = run()
+    assert a == run()  # byte-deterministic
+    assert {z for z, _, _ in a} == {6, 7, 8}
+
+    def gids_at(z):
+        out = set()
+        for (zz, _tx, _ty), (_w, _g, _s, _c, payload) in a.items():
+            if zz != z:
+                continue
+            pos = 0
+            while pos < len(payload):
+                gtype, gid, rings, tags = geomblob.decode_geom(payload[pos:])
+                out.add(gid)
+                ln = 13  # <Bqi
+                for ring in rings:
+                    ln += 4 + 8 * len(ring[0])
+                ln += 4
+                pos += ln
+        return out
+
+    # ways failing the 2px envelope threshold at min_zoom (the engine's
+    # own drop rule restated driver-side on the raw fixture)
+    px_deg = int(3_600_000_000 / ((1 << min_zoom) * 256))
+    dropped = set()
+    for wid, pts in resolved_rows:
+        la = [p["lat"] for p in pts]
+        lo = [p["lon"] for p in pts]
+        if not (
+            max(lo) - min(lo) >= 2.0 * px_deg or max(la) - min(la) >= 2.0 * px_deg
+        ):
+            dropped.add(wid)
+    coarse = gids_at(min_zoom)
+    base = gids_at(zoom)
+    assert dropped and not (coarse & dropped)
+    assert base & dropped, "base zoom should still draw some sub-2px-at-z6 ways"
+    # coarse way set is a subset of the base set (drop rule is monotone)
+    assert coarse <= base

@@ -726,15 +726,16 @@ def g_geo_render_raster():
     return ["tile_x", "tile_y", "n_ways", "n_px", "px_crc"], rows, {}
 
 
-def g_vector_tiles_stats(zoom: int = 8, tp: int = 256):
-    """Independent scalar twin of the vector-tile query: anchor filter ->
-    scalar mercator -> piece fan-out membership -> per-tile (way_id,
-    seg_idx)-sorted runs of consecutive segments -> LINE blobs encoded by
-    an INLINE struct.pack statement of the documented GenericGeometry
-    layout (independent of kernels/geomblob)."""
+def _scalar_vector_tiles(ways_ll: dict, bbox, zoom: int, tp: int) -> list:
+    """Scalar vector-tile assembly shared by the single-zoom and pyramid
+    goldens: anchor filter -> scalar mercator -> piece fan-out membership
+    -> per-tile (way_id, seg_idx)-sorted runs of consecutive segments ->
+    LINE blobs encoded by an INLINE struct.pack statement of the
+    documented GenericGeometry layout (independent of kernels/geomblob).
+    `ways_ll`: way_id -> [(lat, lon), ...]. Returns (tx, ty, n_ways,
+    n_geoms, n_segs, payload_crc) rows."""
     import struct as _st
 
-    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
     lat0, lon0, lat1, lon1 = bbox
     scale = tp << zoom
 
@@ -748,8 +749,7 @@ def g_vector_tiles_stats(zoom: int = 8, tp: int = 256):
     ty0, ty1 = sorted((cy0 // tp, cy1 // tp))
 
     tiles: dict = {}
-    for wid, pts in _resolved_ways().items():
-        ll = [(la, lo) for _nid, la, lo in pts]
+    for wid, ll in ways_ll.items():
         if not (lat0 <= ll[0][0] <= lat1 and lon0 <= ll[0][1] <= lon1):
             continue
         g = [pix(la, lo) for la, lo in ll]
@@ -802,7 +802,58 @@ def g_vector_tiles_stats(zoom: int = 8, tp: int = 256):
             (tx, ty, len({w for (w, _s) in segmap}), len(blobs), n,
              zlib.crc32(payload))
         )
+    return rows
+
+
+def g_vector_tiles_stats(zoom: int = 8, tp: int = 256):
+    """Golden twin of the single-zoom vector-tile query (scalar assembly
+    in _scalar_vector_tiles over the full-resolution way fixture)."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    ways_ll = {
+        wid: [(la, lo) for _nid, la, lo in pts]
+        for wid, pts in _resolved_ways().items()
+    }
+    rows = _scalar_vector_tiles(ways_ll, bbox, zoom, tp)
     return ["tile_x", "tile_y", "n_ways", "n_geoms", "n_segs", "payload_crc"], rows, {}
+
+
+def g_vector_tile_pyramid_stats(zoom: int = 8, min_zoom: int = 6, tp: int = 256,
+                                min_px: float = 2.0):
+    """Golden twin of the per-zoom LOD vector pyramid: for each level,
+    scalar Douglas-Peucker at that zoom's one-pixel tolerance (_dp_keep,
+    mercator GRID units) + the sub-pixel envelope drop rule (the same
+    statements g_geo_lod_tables pins), then the shared scalar vector-tile
+    assembly on the SIMPLIFIED geometry."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    resolved = _resolved_ways()
+    rows = []
+    for z in range(zoom, min_zoom - 1, -1):
+        eps = 1.0 * float(1 << (26 - z)) / 256.0
+        px_deg = int(3_600_000_000 / ((1 << z) * 256))
+        ways_ll: dict = {}
+        for wid, pts in resolved.items():
+            la = np.asarray([p[1] for p in pts], dtype=np.int64)
+            lo = np.asarray([p[2] for p in pts], dtype=np.int64)
+            if not (
+                int(lo.max()) - int(lo.min()) >= min_px * px_deg
+                or int(la.max()) - int(la.min()) >= min_px * px_deg
+            ):
+                continue
+            if len(la) <= 2:
+                keep = [True] * len(la)
+            else:
+                ux, uy = _unit_xy(la, lo)
+                keep = _dp_keep(list(ux * GRID), list(uy * GRID), eps)
+            ways_ll[wid] = [
+                (int(a), int(b)) for a, b, k in zip(la, lo, keep) if k
+            ]
+        for r in _scalar_vector_tiles(ways_ll, bbox, z, tp):
+            rows.append((z, *r))
+    return (
+        ["zoom", "tile_x", "tile_y", "n_ways", "n_geoms", "n_segs", "payload_crc"],
+        rows,
+        {},
+    )
 
 
 def g_geo_render_pyramid(zoom: int = 8, min_zoom: int = 6):
@@ -1553,6 +1604,7 @@ GENERATORS = {
     "pbf_create_storage_stats": g_geo_osm_way_tiling,
     "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
     "geo_render_polygons": g_geo_render_polygons,
+    "vector_tile_pyramid_stats": g_vector_tile_pyramid_stats,
     "geo_lod_tables": g_geo_lod_tables,
     "payload_decode_verify": g_payload_decode_verify,
     "dedup_minhash_lsh_pairs": g_dedup_minhash_lsh_pairs,
