@@ -341,6 +341,63 @@ def _member_way_refs():
     return F.expr("transform(filter(members, m -> m.mtype = 1), m -> m.ref)")
 
 
+def maintain_tables(
+    spark,
+    paths: list[str | None],
+    group: str,
+    target_bytes: int = 128 << 20,
+    keep_n: int = 2,
+) -> dict:
+    """One maintenance sweep over every existing table in `paths`:
+    compact() small files (ledgered under `group` — a replay skips the
+    rewrite), then expire_snapshots(keep_n) to reclaim the space the
+    dropped generations pin. Expiry is idempotent and re-runs on replay
+    (a crash between compact and expire must not leave snapshots
+    unreclaimed forever). The committed-group ledger lives in the CURRENT
+    manifest and carries through both operations, so the stream's
+    exactly-once contract survives maintenance."""
+    out: dict = {}
+    for p in paths:
+        if p is None:
+            continue
+        t = IcepickTable(p)
+        if not t.exists():
+            continue
+        if group in t.committed_groups():
+            st: object = "replayed"
+        else:
+            st = t.compact(spark, target_bytes=target_bytes, group=group)
+            t.mark_group_committed(group)  # ledger the no-op sweeps too
+        ex = t.expire_snapshots(keep_n=keep_n)
+        out[p] = {
+            "compact": st,
+            "expired_versions": len(ex["expired_versions"]),
+            "removed_files": len(ex["removed_files"]),
+            "files_now": len(t.files()),
+        }
+    return out
+
+
+def _maintained_paths(
+    nodes_store, ways_store, rels_store, way_table, rel_table, dirty_table,
+    rindex_store, rel_rindex_store,
+) -> list[str | None]:
+    """Every table the stream fragments, locator sidecars included (each
+    derived-table apply lands TWO locator commits per batch — the fastest
+    fragmenter in the loop)."""
+    from coords_spark.operators.update import _locator_path
+
+    paths = [
+        nodes_store, ways_store, rels_store,
+        rindex_store, rel_rindex_store,
+        way_table, rel_table, dirty_table,
+    ]
+    for tbl in (way_table, rel_table):
+        if tbl is not None:
+            paths.append(_locator_path(tbl))
+    return paths
+
+
 def stream_apply_diffs(
     diffs_stream: DataFrame,
     nodes_store: str,
@@ -354,13 +411,23 @@ def stream_apply_diffs(
     dirty_min_zoom: int = 9,
     rindex_store: str | None = None,
     rel_rindex_store: str | None = None,
+    maintenance_every: int | None = None,
+    maintenance_keep: int = 2,
+    maintenance_target_bytes: int = 128 << 20,
 ):
     """Start the continuous update query. Each micro-batch is one diff
     interval applied atomically-per-table with replay-safe skips. With
     `dirty_table`, each batch also appends its tile-expiry work list
     (render.dirty_tiles over the batch's blast radius) — the re-render
     feed for a downstream tile sink. With the reverse-index stores, every
-    batch plans O(diff) (see apply_diff_batch)."""
+    batch plans O(diff) (see apply_diff_batch).
+
+    With `maintenance_every=N`, every Nth batch closes the lifecycle loop
+    (VERDICT r6 ask #5): compact + expire_snapshots on every table the
+    stream fragments — a day of minutely diffs no longer degrades reads
+    (BENCH/BASELINE.md: fragmented 1.5 s -> compacted 0.18 s). Ledgered
+    per sweep ('maint-{batch_id}'), so a replayed trigger batch skips the
+    rewrite and only re-runs the idempotent expiry."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_diff_batch(
@@ -378,6 +445,17 @@ def stream_apply_diffs(
             rindex_store=rindex_store,
             rel_rindex_store=rel_rindex_store,
         )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            maintain_tables(
+                batch_df.sparkSession,
+                _maintained_paths(
+                    nodes_store, ways_store, rels_store, way_table, rel_table,
+                    dirty_table, rindex_store, rel_rindex_store,
+                ),
+                group=f"maint-{batch_id}",
+                target_bytes=maintenance_target_bytes,
+                keep_n=maintenance_keep,
+            )
 
     return (
         diffs_stream.writeStream.foreachBatch(sink)
