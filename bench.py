@@ -366,7 +366,7 @@ def main() -> None:
         import numpy as _np
         import pyarrow as _pa
 
-        n_clusters, per = 256, max(100, int(4000 * sf))
+        n_clusters, per = 256, max(200, int(4000 * sf))
         cl = _np.repeat(_np.arange(n_clusters), per)
         k = _np.tile(_np.arange(per), n_clusters)
         nid_arr = _np.arange(cl.size, dtype=_np.int64) + 1
@@ -378,10 +378,13 @@ def main() -> None:
             _pa.table({"id": _pa.array(nid_arr), "lat": _pa.array(nlat),
                        "lon": _pa.array(nlon)})
         ).localCheckpoint()
+        # step-2 chains: ~2.5x the ways of the r6 fixture, overlapping in
+        # each cluster — per-tile render work is non-trivial, so rebuild
+        # pays real compute and refresh's dirty-proportionality can show
         way_refs = [
             [int(c * per + s + j + 1) for j in range(6)]
             for c in range(n_clusters)
-            for s in range(0, per - 6, 5)
+            for s in range(0, per - 6, 2)
         ]
         lways = spark.createDataFrame(
             _pa.table({
@@ -419,9 +422,15 @@ def main() -> None:
             return out
 
         pre_path = _chunkify(lnodes, os.path.join(tmp, "local_pre"))
+        # zoom 12..10 (r7): at 10..8 the pyramid had ~214 tiles and BOTH
+        # refresh and rebuild were job-orchestration-bound (r6 verdict) —
+        # the comparison couldn't show refresh's dirty-proportionality.
+        # At z12 the viewport holds ~16x the tiles, so rebuild pays real
+        # render/overzoom compute while refresh still touches one
+        # neighborhood's slice.
         t0 = time.time()
         sink1 = os.path.join(tmp, "pyr_sink")
-        render.build_pyramid_table(spark, pre_path, sink1, bbox, zoom=10, min_zoom=8)
+        render.build_pyramid_table(spark, pre_path, sink1, bbox, zoom=12, min_zoom=10)
         queries["geo_pyramid_sink_build"] = time.time() - t0
 
         aff_id = (
@@ -432,17 +441,17 @@ def main() -> None:
         )
         old_g = resolve.resolve_ways(lways.join(aff_id, "id", "semi"), lnodes)
         new_g = resolve.resolve_ways(lways.join(aff_id, "id", "semi"), post_nodes)
-        dirty = render.dirty_tiles(old_g.unionByName(new_g), 10, 8).localCheckpoint()
+        dirty = render.dirty_tiles(old_g.unionByName(new_g), 12, 10).localCheckpoint()
         post_path = _chunkify(post_nodes, os.path.join(tmp, "local_post"))
 
         t0 = time.time()
         refresh_stats = render.refresh_pyramid_table(
-            spark, post_path, sink1, bbox, dirty, zoom=10, min_zoom=8
+            spark, post_path, sink1, bbox, dirty, zoom=12, min_zoom=10
         )
         queries["geo_pyramid_refresh"] = time.time() - t0
         t0 = time.time()
         sink2 = os.path.join(tmp, "pyr_rebuild")
-        render.build_pyramid_table(spark, post_path, sink2, bbox, zoom=10, min_zoom=8)
+        render.build_pyramid_table(spark, post_path, sink2, bbox, zoom=12, min_zoom=10)
         queries["geo_pyramid_rebuild"] = time.time() - t0
         from coords_spark.sources.icepick import IcepickTable as _IT
 
@@ -507,6 +516,69 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # fragmented-after-stream (r6 verdict ask #5): a run of diff batches
+    # fragments an id-keyed entity store (each upsert lands a rewrite
+    # generation); ONE maintain_tables sweep (the stream's every-Nth-batch
+    # hook) bin-packs + expires, restoring read efficiency. Measured as
+    # read-before vs read-after with content equality asserted.
+    lifecycle = None
+    tmp = tempfile.mkdtemp(prefix="bench_lifecycle_")
+    try:
+        from coords_spark.operators import entity_store as ES2
+        from coords_spark.sources.icepick import IcepickTable as _IT2
+        from coords_spark.streaming.update_stream import maintain_tables
+
+        n_ent = max(50_000, int(n_rows))
+        ent_cols = [
+            F.col("id"),
+            F.lit(1).alias("version"),
+            (F.col("id") % 1_000_000).cast("int").alias("lat"),
+            (F.col("id") % 999_983).cast("int").alias("lon"),
+            F.expr("cast(map() as map<string,string>)").alias("tags"),
+        ]
+        store = os.path.join(tmp, "store")
+        ES2.build_entity_store(
+            spark.range(1, n_ent + 1).select(*ent_cols), store, id_shift=10
+        )
+        t0 = time.time()
+        n_batches = 16
+        for b in range(n_batches):
+            lo = 1 + (b * 7919) % (n_ent - 400)
+            ups = (
+                spark.range(lo, lo + 200)
+                .select(*ent_cols)
+                .withColumn("version", F.lit(2 + b))
+            )
+            ES2.upsert_entities(spark, store, ups, group=f"d{b}")
+        queries["update_stream_fragment"] = time.time() - t0
+        st = _IT2(store)
+        files_frag, vers_frag = len(st.files()), len(st.versions())
+        t0 = time.time()
+        s1 = spark.read.parquet(*st.data_paths()).agg(
+            F.sum("id"), F.sum("version")
+        ).collect()[0]
+        queries["update_fragmented_read"] = time.time() - t0
+        t0 = time.time()
+        maintain_tables(spark, [store], group="maint", target_bytes=64 << 20, keep_n=1)
+        queries["update_maintain"] = time.time() - t0
+        t0 = time.time()
+        s2 = spark.read.parquet(*st.data_paths()).agg(
+            F.sum("id"), F.sum("version")
+        ).collect()[0]
+        queries["update_maintained_read"] = time.time() - t0
+        assert tuple(s1) == tuple(s2)
+        lifecycle = {
+            "batches": n_batches,
+            "files_fragmented": files_frag,
+            "files_maintained": len(_IT2(store).files()),
+            "versions_fragmented": vers_frag,
+            "versions_maintained": len(_IT2(store).versions()),
+        }
+    except Exception as e:
+        errors["update_lifecycle"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     total = time.time() - t_start
     # round-over-round regression visibility (r3 verdict #7): ratio vs the
     # last driver-recorded bench; >1.2x regressions are named explicitly
@@ -531,6 +603,7 @@ def main() -> None:
         "pbf_node_rows_per_sec": round(n_rows / queries["pbf_node_scan"], 1),
         "payload_failures": payload_failures,
         "pyramid_refresh": pyramid_refresh,
+        "lifecycle": lifecycle,
         "errors": errors,
         "vs_prev": vs_prev,
         "vs_prev_baseline": prev_name,

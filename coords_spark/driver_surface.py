@@ -2666,6 +2666,7 @@ def osc_update_render_stats(spark, sf):
             .select("tile_x", "tile_y")
             .distinct()
         )
+        dirty_list = [(r["tile_x"], r["tile_y"]) for r in dirty_base.collect()]
         post_ways = resolve.resolve_ways(
             ES.read_entity_store(spark, stores["ways"]),
             ES.read_entity_store(spark, stores["nodes"]),
@@ -2673,7 +2674,8 @@ def osc_update_render_stats(spark, sf):
         world_bbox = (-850_000_000, -1_799_999_999, 850_000_000, 1_799_999_999)
         return (
             render.render_tile_images(
-                spark, None, world_bbox, zoom=12, tile_px=256, ways=post_ways
+                spark, None, world_bbox, zoom=12, tile_px=256, ways=post_ways,
+                only_tiles=dirty_list,
             )
             .join(F.broadcast(dirty_base), ["tile_x", "tile_y"])
             .select("tile_x", "tile_y", "n_ways", "n_px", "px_crc")

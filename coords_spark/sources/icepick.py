@@ -419,11 +419,16 @@ class IcepickTable:
 
     def mark_group_committed(self, group: str | int) -> None:
         """Commit an empty group (a resume unit that produced no rows)."""
+        self.mark_groups_committed([group])
+
+    def mark_groups_committed(self, groups) -> None:
+        """Commit several empty groups in ONE manifest write (e.g. the
+        per-level resume groups of a merged multi-level refresh)."""
         man = self.current_manifest()
-        g = str(group)
-        if g not in man["committed_groups"]:
+        missing = [str(g) for g in groups if str(g) not in man["committed_groups"]]
+        if missing:
             man["version"] += 1
-            man["committed_groups"] = man["committed_groups"] + [g]
+            man["committed_groups"] = man["committed_groups"] + missing
             self._write_manifest(man)
 
     def _next_file_seq(self) -> int:
