@@ -3378,7 +3378,6 @@ _WINDOW_FIRST = [
     # having/bucket/grouping_sets in-window)
     "incremental_update_apply",
     "grouping_sets_nation_region",
-    "having_big_customers",
     "anti_join_idle_customers",
     "window_running_user_value",
     "set_except_nations",
@@ -3387,7 +3386,6 @@ _WINDOW_FIRST = [
     # osc_update_render_stats in — the continuous-E3 capstone earns its
     # driver row in the round it landed.
     "osc_update_render_stats",
-    "json_props_stats",
     # sliding_window_user_counts rotates out (r5-green; tumbling/session/
     # stream-stream/stateful/ledger keep the streaming family in-window);
     # the NEW continuous-update pipeline query takes the slot
@@ -3416,6 +3414,14 @@ _WINDOW_FIRST = [
     # keeps scalar_functions_suite, json_props_stats, array_funcs_parts).
     "pyramid_table_stats",
     "vector_tiles_stats",
+    # second r7 wave: the two operators NEW this round earn their driver
+    # rows in the round they landed (r6 precedent). Rotated OUT — both
+    # r6-hash-green with family representatives remaining in-window:
+    # json_props_stats (scalar family keeps scalar_functions_suite +
+    # array_funcs_parts + date handling via scalar suite),
+    # having_big_customers (agg family keeps grouping_sets_nation_region).
+    "geo_render_polygons",
+    "vector_tile_pyramid_stats",
 ]
 assert len(_WINDOW_FIRST) == 50, len(_WINDOW_FIRST)
 assert set(_WINDOW_FIRST) <= set(QUERIES), sorted(set(_WINDOW_FIRST) - set(QUERIES))
