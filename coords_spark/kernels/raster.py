@@ -135,9 +135,7 @@ def segment_pieces(a: int, b: int, c: int, d: int, s: int = 256):
 def fill_rings(rings, w: int = 256, h: int = 256) -> np.ndarray:
     """Vectorized fill of ONE polygon (outer ring + holes) into an (h, w)
     uint8 mask. `rings`: sequence of (xs, ys) int arrays (tile-local).
-    One (edge, straddled-row) pair enumeration (repeat/cumsum), one exact
-    integer threshold per pair, suffix-sum parity per row — no per-pixel
-    Python."""
+    Builds the closed edge set and delegates to fill_edges."""
     ex0, ey0, ex1, ey1 = [], [], [], []
     for xs, ys in rings:
         xs = np.asarray(xs, dtype=np.int64)
@@ -148,37 +146,66 @@ def fill_rings(rings, w: int = 256, h: int = 256) -> np.ndarray:
         ey0.append(ys)
         ex1.append(np.roll(xs, -1))
         ey1.append(np.roll(ys, -1))
-    img = np.zeros((h, w), np.uint8)
     if not ex0:
-        return img
-    x0 = np.concatenate(ex0)
-    y0 = np.concatenate(ey0)
-    x1 = np.concatenate(ex1)
-    y1 = np.concatenate(ey1)
+        return np.zeros((h, w), np.uint8)
+    return fill_edges(
+        np.concatenate(ex0), np.concatenate(ey0),
+        np.concatenate(ex1), np.concatenate(ey1), w, h,
+    )
+
+
+def fill_edges(
+    x0, y0, x1, y1, w: int = 256, h: int = 256,
+    right_rows=None, right_deltas=None,
+) -> np.ndarray:
+    """The fill rule over an explicit EDGE set (tile-local int coords) —
+    one (edge, straddled-row) pair enumeration (repeat/cumsum), one exact
+    integer threshold per pair, suffix-sum parity per row; no per-pixel
+    Python.
+
+    `right_rows`/`right_deltas` carry the pre-aggregated parity of edges
+    ENTIRELY RIGHT of the tile window: such an edge counts for every
+    in-window px whenever it straddles the row, so its whole identity
+    collapses to a per-row count. The pairs are a DIFFERENCE array over
+    tile-local rows (row r gains `delta` straddling right-edges from r
+    onward) — cumsum reconstructs the counts, which enter the parity at
+    the virtual threshold column w (count for all px < w). Equivalent to
+    appending each right edge with x0=x1=+inf; shipping deltas keeps a
+    mega-polygon's per-tile payload at O(local edges + h) instead of
+    O(perimeter)."""
+    x0 = np.asarray(x0, dtype=np.int64)
+    y0 = np.asarray(y0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y1 = np.asarray(y1, dtype=np.int64)
+    img = np.zeros((h, w), np.uint8)
+    ends = np.zeros((h, w + 1), np.int64)
     keep = y0 != y1
     x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
-    if x0.size == 0:
-        return img
-    # rows straddled by each edge under the half-open rule: [min, max) —
-    # clipped to the tile's row range
-    lo = np.clip(np.minimum(y0, y1), 0, h)
-    hi = np.clip(np.maximum(y0, y1), 0, h)
-    cnt = np.maximum(hi - lo, 0)
-    if int(cnt.sum()) == 0:
-        return img
-    off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-    eidx = np.repeat(np.arange(cnt.size), cnt)
-    py = np.arange(int(cnt.sum()), dtype=np.int64) - off[eidx] + lo[eidx]
-    num = (x1 - x0)[eidx] * (py - y0[eidx])
-    den = (y1 - y0)[eidx]
-    neg = den < 0
-    num[neg] = -num[neg]
-    den[neg] = -den[neg]
-    # smallest px NOT strictly left of the intersection; toggles px < T
-    T = x0[eidx] + -(-num // den)
-    idx = np.clip(T, 0, w)
-    ends = np.zeros((h, w + 1), np.int64)
-    np.add.at(ends, (py, idx), 1)
+    if x0.size:
+        # rows straddled by each edge under the half-open rule: [min, max)
+        # — clipped to the tile's row range
+        lo = np.clip(np.minimum(y0, y1), 0, h)
+        hi = np.clip(np.maximum(y0, y1), 0, h)
+        cnt = np.maximum(hi - lo, 0)
+        if int(cnt.sum()):
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            eidx = np.repeat(np.arange(cnt.size), cnt)
+            py = np.arange(int(cnt.sum()), dtype=np.int64) - off[eidx] + lo[eidx]
+            num = (x1 - x0)[eidx] * (py - y0[eidx])
+            den = (y1 - y0)[eidx]
+            neg = den < 0
+            num[neg] = -num[neg]
+            den[neg] = -den[neg]
+            # smallest px NOT strictly left of the intersection; toggles px < T
+            T = x0[eidx] + -(-num // den)
+            idx = np.clip(T, 0, w)
+            np.add.at(ends, (py, idx), 1)
+    if right_rows is not None and len(right_rows):
+        rr = np.asarray(right_rows, dtype=np.int64)
+        rd = np.asarray(right_deltas, dtype=np.int64)
+        diff = np.zeros(h + 1, dtype=np.int64)
+        np.add.at(diff, np.clip(rr, 0, h), rd)
+        ends[:, w] += np.cumsum(diff[:-1])
     # count[py, px] = #edges whose threshold exceeds px = suffix sum
     suffix = np.cumsum(ends[:, ::-1], axis=1)[:, ::-1]
     img[(suffix[:, 1:] & 1) == 1] = 255

@@ -1097,48 +1097,133 @@ def render_polygon_tiles(
             "transform(sequence(c, d), ty -> struct(tx AS tx, ty AS ty))))) AS t"
         ),
     ).select("relation_id", "poly_idx", "t.tx", "t.ty")
-    per_tile = tiles.join(rings, ["relation_id", "poly_idx"]).select(
+    # per-tile EDGE classification (r7 scale shaping): shipping whole rings
+    # to every covered tile costs O(ring x covered tiles) — a continental
+    # polygon would ship megabytes to thousands of interior tiles. The
+    # parity rule lets three exact reductions stand in:
+    #   * an edge whose y-span misses the tile's rows never straddles any
+    #     scanline -> DROPPED;
+    #   * an edge entirely LEFT of the tile has x_int <= tile_left <= px
+    #     -> never counts -> DROPPED;
+    #   * an edge entirely RIGHT always counts when it straddles a row, so
+    #     its identity collapses to per-row parity — shipped as (row, ±1)
+    #     DIFFERENCE pairs pre-aggregated per (tile, polygon, row);
+    # only edges that actually cross the tile's x-window ship coordinates.
+    # Per-tile payload: O(locally-crossing edges + tile_px), never
+    # O(perimeter). Byte-identity with the ring path is pinned by pytest
+    # and the geo_render_polygons golden.
+    n_counts = tiles.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_polys")  # (relation_id, poly_idx) rows are distinct
+    )
+    edges = rings.select(
+        "relation_id",
+        "poly_idx",
+        F.expr(
+            "explode(transform(gp, (p, i) -> struct("
+            "p.gx AS x0, p.gy AS y0, "
+            "gp[int(pmod(i + 1, size(gp)))].gx AS x1, "
+            "gp[int(pmod(i + 1, size(gp)))].gy AS y1))) AS e"
+        ),
+    ).select("relation_id", "poly_idx", "e.*").filter("y0 != y1")
+    et = (
+        tiles.join(edges, ["relation_id", "poly_idx"])
+        .withColumn("ymin", F.expr("least(y0, y1)"))
+        .withColumn("ymax", F.expr("greatest(y0, y1)"))
+        # straddles some tile row (half-open [ymin, ymax)) and is not
+        # entirely left of the tile window
+        .filter(
+            f"ymin < (ty + 1) * {tp} AND ymax > ty * {tp} "
+            f"AND greatest(x0, x1) > tx * {tp}"
+        )
+    )
+    locals_ = et.filter(f"least(x0, x1) < (tx + 1) * {tp}").select(
         "tx",
         "ty",
         F.struct(
             "relation_id",
             "poly_idx",
-            "ring_idx",
-            F.expr(
-                f"transform(gp, p -> struct(p.gx - tx * {tp} AS x, "
-                f"p.gy - ty * {tp} AS y))"
-            ).alias("lp"),
+            F.lit(0).alias("kind"),
+            (F.col("x0") - F.col("tx") * tp).alias("a"),
+            (F.col("y0") - F.col("ty") * tp).alias("b"),
+            (F.col("x1") - F.col("tx") * tp).alias("c"),
+            (F.col("y1") - F.col("ty") * tp).alias("d"),
         ).alias("r"),
     )
-    grouped = per_tile.groupBy("tx", "ty").agg(
-        F.count_distinct(F.expr("struct(r.relation_id, r.poly_idx)")).alias("n_polys"),
-        F.array_sort(F.collect_list("r")).alias("rings"),
+    rights = (
+        et.filter(f"least(x0, x1) >= (tx + 1) * {tp}")
+        .select(
+            "tx", "ty", "relation_id", "poly_idx",
+            F.expr(f"greatest(ymin - ty * {tp}, 0L)").alias("lo"),
+            F.expr(f"least(ymax - ty * {tp}, {tp}L)").alias("hi"),
+        )
+        .filter("lo < hi")
+        .select(
+            "tx", "ty", "relation_id", "poly_idx",
+            F.expr(
+                "explode(array(struct(lo AS row, 1L AS delta), "
+                "struct(hi AS row, -1L AS delta))) AS d"
+            ),
+        )
+        .groupBy("tx", "ty", "relation_id", "poly_idx", "d.row")
+        .agg(F.sum("d.delta").alias("delta"))
+        .filter("delta != 0")
+        .select(
+            "tx",
+            "ty",
+            F.struct(
+                "relation_id",
+                "poly_idx",
+                F.lit(1).alias("kind"),
+                F.col("row").alias("a"),
+                F.col("delta").alias("b"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("d"),
+            ).alias("r"),
+        )
     )
+    grouped = (
+        locals_.unionByName(rights)
+        .groupBy("tx", "ty")
+        .agg(F.array_sort(F.collect_list("r")).alias("items"))
+    )
+    # row set = rect-membership tiles (a tile whose every edge classified
+    # away still renders an empty mask, exactly like the ring path)
+    out_rows = n_counts.join(grouped, ["tx", "ty"], "left")
 
     @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
-    def _fill(rings_col: pa.Array) -> pa.Array:
+    def _fill(items_col: pa.Array) -> pa.Array:
         import zlib as _z
 
-        if isinstance(rings_col, pa.ChunkedArray):
-            rings_col = rings_col.combine_chunks()
+        if isinstance(items_col, pa.ChunkedArray):
+            items_col = items_col.combine_chunks()
         n_px_l, crcs, payloads = [], [], []
-        for group in rings_col.to_pylist():
+        for group in items_col.to_pylist():
             img = np.zeros((tp, tp), np.uint8)
+            group = group or []
             i, n = 0, len(group)
             while i < n:
                 j = i
                 key = (group[i]["relation_id"], group[i]["poly_idx"])
-                poly_rings = []
+                ex0, ey0, ex1, ey1, rrow, rdel = [], [], [], [], [], []
                 while j < n and (group[j]["relation_id"], group[j]["poly_idx"]) == key:
-                    lp = group[j]["lp"]
-                    poly_rings.append(
-                        (
-                            np.array([p["x"] for p in lp], dtype=np.int64),
-                            np.array([p["y"] for p in lp], dtype=np.int64),
-                        )
-                    )
+                    it = group[j]
+                    if it["kind"] == 0:
+                        ex0.append(it["a"])
+                        ey0.append(it["b"])
+                        ex1.append(it["c"])
+                        ey1.append(it["d"])
+                    else:
+                        rrow.append(it["a"])
+                        rdel.append(it["b"])
                     j += 1
-                np.maximum(img, raster.fill_rings(poly_rings, tp, tp), out=img)
+                np.maximum(
+                    img,
+                    raster.fill_edges(
+                        ex0, ey0, ex1, ey1, tp, tp,
+                        right_rows=rrow, right_deltas=rdel,
+                    ),
+                    out=img,
+                )
                 i = j
             n_px_l.append(int(np.count_nonzero(img)))
             crcs.append(_z.crc32(img.tobytes()))
@@ -1154,11 +1239,11 @@ def render_polygon_tiles(
             names=["n_px", "px_crc", "payload"],
         )
 
-    return grouped.select(
+    return out_rows.select(
         F.col("tx").cast("long").alias("tile_x"),
         F.col("ty").cast("long").alias("tile_y"),
         F.col("n_polys").cast("long").alias("n_polys"),
-        _fill(F.col("rings")).alias("r"),
+        _fill(F.col("items")).alias("r"),
     ).select("tile_x", "tile_y", "n_polys", "r.n_px", "r.px_crc", "r.payload")
 
 

@@ -958,3 +958,49 @@ def test_vector_tile_pyramid_lod(spark, chunk_table):
     assert base & dropped, "base zoom should still draw some sub-2px-at-z6 ways"
     # coarse way set is a subset of the base set (drop rule is monotone)
     assert coarse <= base
+
+
+def test_fill_edge_classification_equivalence():
+    """The per-tile shipping reductions (drop y-disjoint, drop
+    entirely-left, collapse entirely-right to row-parity deltas) must be
+    EXACT: classified fill_edges == whole-ring fill_rings on random
+    polygons against random tile windows."""
+    rng = np.random.default_rng(23)
+    w = h = 64
+    for trial in range(40):
+        rings = []
+        for _ in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(3, 10))
+            # coords far beyond the window so every class occurs
+            rings.append(
+                (rng.integers(-300, 360, n), rng.integers(-300, 360, n))
+            )
+        want = raster.fill_rings(rings, w, h)
+
+        ex0, ey0, ex1, ey1, rrow, rdel = [], [], [], [], [], []
+        for xs, ys in rings:
+            n = len(xs)
+            for i in range(n):
+                j = (i + 1) % n
+                x0, y0, x1, y1 = int(xs[i]), int(ys[i]), int(xs[j]), int(ys[j])
+                if y0 == y1:
+                    continue
+                ymin, ymax = min(y0, y1), max(y0, y1)
+                if ymin >= h or ymax <= 0:
+                    continue  # y-disjoint with the window
+                if max(x0, x1) <= 0:
+                    continue  # entirely left
+                if min(x0, x1) >= w:
+                    lo, hi = max(ymin, 0), min(ymax, h)
+                    if lo < hi:
+                        rrow += [lo, hi]
+                        rdel += [1, -1]
+                    continue  # entirely right -> parity deltas
+                ex0.append(x0)
+                ey0.append(y0)
+                ex1.append(x1)
+                ey1.append(y1)
+        got = raster.fill_edges(
+            ex0, ey0, ex1, ey1, w, h, right_rows=rrow, right_deltas=rdel
+        )
+        assert (got == want).all(), trial
