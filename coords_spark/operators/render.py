@@ -1075,7 +1075,10 @@ def render_polygon_tiles(
             & F.expr("element_at(outer, 1).lon").between(lon0, lon1)
         ).select("relation_id", "poly_idx", "outer", "inners")
 
-    rings = _poly_rings(polys, scale)
+    # materialize the projected rings ONCE: four consumers below (envelope,
+    # membership counts, local-edge and right-edge classification) would
+    # otherwise each re-run the Arrow projection subtree (plan audit r7)
+    rings = _poly_rings(polys, scale).localCheckpoint()
     env = (
         rings.filter(F.col("ring_idx") == 0)
         .select(
@@ -1096,7 +1099,7 @@ def render_polygon_tiles(
             "explode(flatten(transform(sequence(a, b), tx -> "
             "transform(sequence(c, d), ty -> struct(tx AS tx, ty AS ty))))) AS t"
         ),
-    ).select("relation_id", "poly_idx", "t.tx", "t.ty")
+    ).select("relation_id", "poly_idx", "t.tx", "t.ty").localCheckpoint()
     # per-tile EDGE classification (r7 scale shaping): shipping whole rings
     # to every covered tile costs O(ring x covered tiles) — a continental
     # polygon would ship megabytes to thousands of interior tiles. The
