@@ -2177,6 +2177,42 @@ def pbf_create_tiles_stats(spark, sf):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_q("geo_render_map_stats", None)
+def geo_render_map_stats(spark, sf):
+    """COMPOSITE map tiles (the Mapnik-consumer artifact made computable):
+    the line world's polylines AND the relation fixture's multipolygon
+    fills composite into one mask per London-viewport tile (fills under
+    strokes — mask OR), with absent layers rendering as zero. Pins the
+    union of both tile sets, per-layer fan-outs, and the exact composite
+    bytes. Golden twin: scalar line raster OR scalar scanline fill
+    (tools/gen_goldens.py g_geo_render_map_stats)."""
+    from coords_spark.fixtures import gen_nodes, gen_relations, gen_ways
+    from coords_spark.operators import multipolygon, render, resolve
+
+    nodes = spark.createDataFrame(gen_nodes(4000))
+    ways = spark.createDataFrame(gen_ways(600, 4000))
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))  # London
+    # anchor-in-viewport filter — the same S5 semantic render_read applies
+    # when the line layer comes from a chunk table
+    resolved = resolve.resolve_ways(ways, nodes).filter(
+        F.expr("pts[0].lat").between(bbox[0], bbox[2])
+        & F.expr("pts[0].lon").between(bbox[1], bbox[3])
+    )
+    relations, ring_ways = gen_relations(60)
+    rel_df = spark.createDataFrame(relations)
+    rw_df = spark.createDataFrame(ring_ways).select(F.col("id").alias("way_id"), "pts")
+    mp = multipolygon.reconstruct_multipolygons(
+        resolve.resolve_relation_members(rel_df, rw_df)
+    )
+    return (
+        render.render_map_tiles(
+            spark, None, None, bbox, zoom=8, ways=resolved, polys=mp
+        )
+        .select("tile_x", "tile_y", "n_ways", "n_polys", "n_px", "px_crc")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 @_q("geo_render_polygons", None)
 def geo_render_polygons(spark, sf):
     """Filled multipolygon raster tiles (VERDICT r6 ask #3): the shared

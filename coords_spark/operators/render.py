@@ -1345,3 +1345,76 @@ def vector_tile_pyramid(
         )
         out = vt if out is None else out.unionByName(vt)
     return out
+
+
+def render_map_tiles(
+    spark,
+    way_table: str | None,
+    rel_table: str | None,
+    bbox,
+    zoom: int,
+    tile_px: int = 256,
+    base_level: int = tiling.DEFAULT_BASE_LEVEL,
+    fmt: str = "pngz",
+    ways: DataFrame | None = None,
+    polys: DataFrame | None = None,
+) -> DataFrame:
+    """COMPOSITE map tiles — polygon fills plus way lines in one mask, the
+    literal artifact the reference's Mapnik companion produces from
+    COORDS' tiles (fills under strokes; with 0/255 masks compositing is
+    OR, so order is moot and the result is deterministic). Composes the
+    two existing per-tile pipelines and joins them full-outer on the tile
+    key; masks decode, OR and re-encode where the joined rows land —
+    payload bytes cross exactly one exchange, never the driver.
+
+    Output: (tile_x, tile_y, n_ways, n_polys, n_px, px_crc, payload)."""
+    lines = render_tile_images(
+        spark, way_table, bbox, zoom, tile_px, base_level, fmt, ways=ways
+    ).select("tile_x", "tile_y", "n_ways", F.col("payload").alias("line_payload"))
+    fills = render_polygon_tiles(
+        spark, rel_table, bbox, zoom, tile_px, base_level, fmt, polys=polys
+    ).select("tile_x", "tile_y", "n_polys", F.col("payload").alias("fill_payload"))
+    j = lines.join(fills, ["tile_x", "tile_y"], "full_outer").select(
+        "tile_x",
+        "tile_y",
+        F.coalesce("n_ways", F.lit(0)).cast("long").alias("n_ways"),
+        F.coalesce("n_polys", F.lit(0)).cast("long").alias("n_polys"),
+        "line_payload",
+        "fill_payload",
+    )
+    tp = tile_px
+
+    @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
+    def _compose(line_p: pa.Array, fill_p: pa.Array) -> pa.Array:
+        import zlib as _z
+
+        n_px_l, crcs, payloads = [], [], []
+        for lp, fp in zip(line_p.to_pylist(), fill_p.to_pylist()):
+            img = np.zeros((tp, tp), np.uint8)
+            for p in (fp, lp):
+                if p is not None:
+                    dec = codec.decode_image(bytes(p), fmt, tp, tp)
+                    np.maximum(img, dec[:, :, 0], out=img)
+            n_px_l.append(int(np.count_nonzero(img)))
+            crcs.append(_z.crc32(img.tobytes()))
+            payloads.append(
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+            )
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(n_px_l, pa.int64()),
+                pa.array(crcs, pa.int64()),
+                pa.array(payloads, pa.binary()),
+            ],
+            names=["n_px", "px_crc", "payload"],
+        )
+
+    return j.select(
+        "tile_x",
+        "tile_y",
+        "n_ways",
+        "n_polys",
+        _compose(F.col("line_payload"), F.col("fill_payload")).alias("r"),
+    ).select(
+        "tile_x", "tile_y", "n_ways", "n_polys", "r.n_px", "r.px_crc", "r.payload"
+    )

@@ -1004,3 +1004,53 @@ def test_fill_edge_classification_equivalence():
             ex0, ey0, ex1, ey1, w, h, right_rows=rrow, right_deltas=rdel
         )
         assert (got == want).all(), trial
+
+
+def test_render_map_tiles_composite(spark, chunk_table):
+    """Composite == mask-OR of the two layers per tile, union of both tile
+    sets, absent layers zero; payload decodes to the composite mask."""
+    from coords_spark.operators import render
+
+    path, resolved_rows = chunk_table
+    mp, _rel, _rw = _poly_fixture(spark, 15)
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    zoom, tp = 8, 256
+    ways = spark.createDataFrame(
+        [(w, [{"lat": p["lat"], "lon": p["lon"]} for p in pts])
+         for w, pts in resolved_rows
+         if bbox[0] <= pts[0]["lat"] <= bbox[2] and bbox[1] <= pts[0]["lon"] <= bbox[3]],
+        "way_id bigint, pts array<struct<lat:int,lon:int>>",
+    ).localCheckpoint()
+
+    lines = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_tile_images(
+            spark, None, bbox, zoom, tp, ways=ways
+        ).collect()
+    }
+    fills = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_polygon_tiles(
+            spark, None, bbox, zoom, tp, polys=mp
+        ).collect()
+    }
+    got = {
+        (r["tile_x"], r["tile_y"]): r
+        for r in render.render_map_tiles(
+            spark, None, None, bbox, zoom, tp, ways=ways, polys=mp
+        ).collect()
+    }
+    assert set(got) == set(lines) | set(fills)
+    assert set(lines) - set(fills), "need a line-only tile for the null path"
+    for key, r in got.items():
+        img = np.zeros((tp, tp), np.uint8)
+        for layer in (lines.get(key), fills.get(key)):
+            if layer is not None:
+                dec = codec.decode_image(bytes(layer["payload"]), "pngz", tp, tp)
+                np.maximum(img, dec[:, :, 0], out=img)
+        assert r["n_px"] == int(np.count_nonzero(img))
+        assert r["px_crc"] == zlib.crc32(img.tobytes())
+        assert r["n_ways"] == (lines[key]["n_ways"] if key in lines else 0)
+        assert r["n_polys"] == (fills[key]["n_polys"] if key in fills else 0)
+        dec = codec.decode_image(bytes(r["payload"]), "pngz", tp, tp)
+        assert np.array_equal(dec[:, :, 0], img)

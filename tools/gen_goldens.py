@@ -895,19 +895,19 @@ def g_geo_render_pyramid(zoom: int = 8, min_zoom: int = 6):
     return ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc"], rows, {}
 
 
-def g_geo_render_polygons(zoom: int = 7, tp: int = 256):
-    """Independent scalar twin of the polygon-fill render query — the fill
-    rule's THIRD lockstep copy (kernels/raster.py holds the vectorized and
-    per-pixel scalar engine statements; this one decomposes by SCANLINE):
-    per tile, per polygon, per row, collect the exact integer crossing
-    thresholds of edges straddling the row, sort them, and a pixel is
-    inside iff the count of thresholds strictly greater than px is odd.
-    Holes are just more edges (even/odd); overlapping polygons OR."""
+def _scalar_polygon_tiles(bbox, zoom: int, tp: int):
+    """Scalar polygon fill shared by the single-layer and composite-map
+    goldens — the fill rule's THIRD lockstep copy (kernels/raster.py holds
+    the vectorized and per-pixel scalar engine statements; this one
+    decomposes by SCANLINE): per tile, per polygon, per row, collect the
+    exact integer crossing thresholds of edges straddling the row, sort
+    them, and a pixel is inside iff the count of thresholds strictly
+    greater than px is odd. Holes are just more edges (even/odd);
+    overlapping polygons OR. Returns {(tx, ty): (n_polys, img)}."""
     import bisect
 
     from coords_spark.fixtures import gen_relations
 
-    bbox = (int(-85.0e7), int(-179.9e7), int(85.0e7), int(179.9e7))
     lat0, lon0, lat1, lon1 = bbox
     scale = tp << zoom
 
@@ -945,7 +945,7 @@ def g_geo_render_polygons(zoom: int = 7, tp: int = 256):
             for ty in range(c, d + 1):
                 tiles.setdefault((tx, ty), []).append(rings)
 
-    rows = []
+    out = {}
     for (tx, ty), tile_polys in sorted(tiles.items()):
         img = np.zeros((tp, tp), np.uint8)
         for rings in tile_polys:
@@ -972,11 +972,50 @@ def g_geo_render_polygons(zoom: int = 7, tp: int = 256):
                 for px in range(tp):
                     if (n - bisect.bisect_right(ts, px)) & 1:
                         img[py, px] = 255
+        out[(tx, ty)] = (len(tile_polys), img)
+    return out
+
+
+def g_geo_render_polygons(zoom: int = 7, tp: int = 256):
+    """Golden twin of the polygon-fill render query (scalar scanline fill
+    in _scalar_polygon_tiles, world viewport)."""
+    bbox = (int(-85.0e7), int(-179.9e7), int(85.0e7), int(179.9e7))
+    rows = [
+        (tx, ty, n, int(np.count_nonzero(img)), zlib.crc32(img.tobytes()))
+        for (tx, ty), (n, img) in sorted(
+            _scalar_polygon_tiles(bbox, zoom, tp).items()
+        )
+    ]
+    return ["tile_x", "tile_y", "n_polys", "n_px", "px_crc"], rows, {}
+
+
+def g_geo_render_map_stats(zoom: int = 8, tp: int = 256):
+    """Golden twin of the COMPOSITE map-tile query: scalar line raster
+    (_scalar_base_tiles — piece fan-out + per-sample walk) OR scalar
+    polygon fill (_scalar_polygon_tiles — scanline thresholds) per tile,
+    union of both tile sets, London viewport. Pins that compositing is
+    exactly mask-OR with absent layers as zero."""
+    bbox = (int(50.0e7), int(-2.0e7), int(53.0e7), int(1.8e7))
+    lines = _scalar_base_tiles(bbox, zoom, tp)
+    fills = _scalar_polygon_tiles(bbox, zoom, tp)
+    rows = []
+    for key in sorted(set(lines) | set(fills)):
+        ways, limg = lines.get(key, (set(), None))
+        n_polys, fimg = fills.get(key, (0, None))
+        img = np.zeros((tp, tp), np.uint8)
+        if limg is not None:
+            np.maximum(img, limg, out=img)
+        if fimg is not None:
+            np.maximum(img, fimg, out=img)
         rows.append(
-            (tx, ty, len(tile_polys),
+            (key[0], key[1], len(ways), n_polys,
              int(np.count_nonzero(img)), zlib.crc32(img.tobytes()))
         )
-    return ["tile_x", "tile_y", "n_polys", "n_px", "px_crc"], rows, {}
+    return (
+        ["tile_x", "tile_y", "n_ways", "n_polys", "n_px", "px_crc"],
+        rows,
+        {},
+    )
 
 
 def g_geo_multipolygon_assembly():
@@ -1604,6 +1643,7 @@ GENERATORS = {
     "pbf_create_storage_stats": g_geo_osm_way_tiling,
     "geo_multipolygon_assembly": g_geo_multipolygon_assembly,
     "geo_render_polygons": g_geo_render_polygons,
+    "geo_render_map_stats": g_geo_render_map_stats,
     "vector_tile_pyramid_stats": g_vector_tile_pyramid_stats,
     "geo_lod_tables": g_geo_lod_tables,
     "payload_decode_verify": g_payload_decode_verify,
