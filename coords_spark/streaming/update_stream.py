@@ -80,6 +80,7 @@ def apply_diff_batch(
     dirty_min_zoom: int = 9,
     rindex_store: str | None = None,
     rel_rindex_store: str | None = None,
+    dirty_polygons: bool = False,
 ) -> dict:
     """Apply ONE diff batch everywhere; shared by the streaming sink and
     batch callers (stream==batch cannot drift). Idempotent per table via
@@ -213,7 +214,93 @@ def apply_diff_batch(
             new_geom = resolve.resolve_ways(post_w, post_n)
             dirty = _dirty_tiles(
                 old_geom.unionByName(new_geom), dirty_zoom, dirty_min_zoom
-            ).withColumn("batch_group", F.lit(group))
+            )
+            if dirty_polygons and rel_table is not None:
+                # POLYGON expiry (r7, opt-in): a relation edit — or a
+                # member way's geometry change — must dirty the FILLED
+                # area's tiles (interior included), which the way-segment
+                # rule above cannot see. Pre/post multipolygons of the
+                # blast-radius relations reassemble from pruned pre-store
+                # rows + the batch (diff-bounded, same pre-commit rule).
+                from coords_spark.operators import multipolygon
+                from coords_spark.operators.render import (
+                    dirty_polygon_tiles as _dirty_polys,
+                )
+
+                rel_ch = rel_up.select("id").unionAll(rel_del).distinct()
+                changed_ways_all = aff_way_ids.unionAll(
+                    way_del.withColumnRenamed("id", "way_id")
+                ).distinct()
+                if rel_rindex_store is not None:
+                    from coords_spark.operators import rindex as RI
+
+                    rel_hit, n = RI.rindex_lookup(
+                        spark, rel_rindex_store, changed_ways_all
+                    )
+                    files_read["dirty_rel_rindex"] = n
+                    rel_hit = rel_hit.withColumnRenamed(rel_hit.columns[0], "id")
+                else:
+                    rels0_all = ES.read_entity_store(spark, rels_store)
+                    rel_hit = update.affected_relation_ids(
+                        rels0_all, changed_ways_all
+                    ).withColumnRenamed("relation_id", "id")
+                aff_rel = rel_hit.unionAll(rel_ch).distinct().localCheckpoint()
+                rels0_aff = _pruned_rows(rels_store, aff_rel, "dirty_rels").select(
+                    "id", "members"
+                ).localCheckpoint()
+                post_r = rels0_aff.join(rel_ch, "id", "anti").unionByName(
+                    rel_up.join(F.broadcast(aff_rel), "id", "semi").select(
+                        "id", "members"
+                    )
+                )
+                mem_ids = (
+                    rels0_aff.unionByName(post_r)
+                    .select(F.explode(_member_way_refs()).alias("id"))
+                    .distinct()
+                )
+                mways0, n = ES.read_entities_for_ids(spark, ways_store, mem_ids)
+                files_read["dirty_member_ways"] = n
+                mways0 = mways0.join(F.broadcast(mem_ids), "id", "semi").select(
+                    "id", "refs"
+                ).localCheckpoint()
+                mref_ids = (
+                    mways0.select(F.explode("refs").alias("id"))
+                    .unionAll(
+                        way_up.join(F.broadcast(mem_ids), "id", "semi").select(
+                            F.explode("refs").alias("id")
+                        )
+                    )
+                    .distinct()
+                )
+                mnodes0, n = ES.read_entities_for_ids(spark, nodes_store, mref_ids)
+                files_read["dirty_member_nodes"] = n
+                mnodes0 = mnodes0.select("id", "lat", "lon")
+                mpost_n = mnodes0.join(node_ch, "id", "anti").unionByName(
+                    node_up.select("id", "lat", "lon")
+                )
+                mpost_w = mways0.join(way_ch, "id", "anti").unionByName(
+                    way_up.join(F.broadcast(mem_ids), "id", "semi").select(
+                        "id", "refs"
+                    )
+                )
+                old_polys = multipolygon.reconstruct_multipolygons(
+                    resolve.resolve_relation_members(
+                        rels0_aff, resolve.resolve_ways(mways0, mnodes0)
+                    )
+                )
+                new_polys = multipolygon.reconstruct_multipolygons(
+                    resolve.resolve_relation_members(
+                        post_r, resolve.resolve_ways(mpost_w, mpost_n)
+                    )
+                )
+                dirty = dirty.unionByName(
+                    _dirty_polys(
+                        old_polys.unionByName(new_polys),
+                        dirty_zoom,
+                        dirty_min_zoom,
+                    )
+                ).distinct()
+            dirty = dirty.withColumn("batch_group", F.lit(group))
             stage = tempfile.mkdtemp(prefix="dirty_stage_")
             dirty.write.mode("overwrite").parquet(stage)
             entries = dt.commit_staged(stage, group=group, chunk_col="tile_x")
@@ -411,6 +498,7 @@ def stream_apply_diffs(
     dirty_min_zoom: int = 9,
     rindex_store: str | None = None,
     rel_rindex_store: str | None = None,
+    dirty_polygons: bool = False,
     maintenance_every: int | None = None,
     maintenance_keep: int = 2,
     maintenance_target_bytes: int = 128 << 20,
@@ -444,6 +532,7 @@ def stream_apply_diffs(
             dirty_min_zoom=dirty_min_zoom,
             rindex_store=rindex_store,
             rel_rindex_store=rel_rindex_store,
+            dirty_polygons=dirty_polygons,
         )
         if maintenance_every and (batch_id + 1) % maintenance_every == 0:
             maintain_tables(

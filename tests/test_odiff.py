@@ -251,3 +251,89 @@ def test_locator_superset_stale_entry_heals(spark, tmp_path):
         .collect()
     )
     assert sorted(healed["chunk_ids"]) == true_chunks
+
+
+def test_polygon_dirty_splice_in_update_loop(spark, tmp_path):
+    """dirty_polygons=True (r7): a member-way node move must expire the
+    FILLED area's tiles — including swath tiles between the old and new
+    boundary that neither polyline touches — and splicing dirty-re-rendered
+    polygon tiles over the pre state must equal a full post render."""
+    from coords_spark.operators import multipolygon, render
+
+    st, way_table, rel_table, kw = _build_world(spark, tmp_path, 8, with_rindex=True)
+    nodes = ES.read_entity_store(spark, st["nodes"]).localCheckpoint()
+    ways = ES.read_entity_store(spark, st["ways"]).localCheckpoint()
+    rels = ES.read_entity_store(spark, st["rels"]).localCheckpoint()
+
+    # one node of the first relation's first member way, moved ~1 degree
+    first = rels.orderBy("id").first()
+    wid = next(m["ref"] for m in first["members"] if m["mtype"] == 1)
+    w_row = ways.filter(F.col("id") == wid).first()
+    nid = w_row["refs"][1]
+    n_row = nodes.filter(F.col("id") == nid).first()
+    batch = spark.createDataFrame(
+        [(0, "upsert", nid, 2, n_row["lat"] + 10_000_000,
+          n_row["lon"] + 7_000_000, None, None, {})],
+        US.DIFF_SCHEMA,
+    )
+    dirty_table = str(tmp_path / "dirty")
+    zoom = 10
+    US.apply_diff_batch(
+        spark, batch, st["nodes"], st["ways"], st["rels"],
+        way_table, rel_table, group="pd-0",
+        dirty_table=dirty_table, dirty_zoom=zoom, dirty_min_zoom=9,
+        dirty_polygons=True, **kw,
+    )
+    dirty10 = {
+        (r["tile_x"], r["tile_y"])
+        for r in spark.read.parquet(*IcepickTable(dirty_table).data_paths())
+        .filter(F.col("zoom") == zoom)
+        .collect()
+    }
+
+    post_nodes = nodes.withColumn(
+        "lat", F.when(F.col("id") == nid, F.col("lat") + 10_000_000).otherwise(F.col("lat"))
+    ).withColumn(
+        "lon", F.when(F.col("id") == nid, F.col("lon") + 7_000_000).otherwise(F.col("lon"))
+    ).localCheckpoint()
+
+    def polys_of(nds):
+        return multipolygon.reconstruct_multipolygons(
+            resolve.resolve_relation_members(rels, resolve.resolve_ways(ways, nds))
+        ).localCheckpoint()
+
+    bbox = (int(-85e7), int(-179.9e7), int(85e7), int(179.9e7))
+
+    def tiles_of(polys):
+        return {
+            (r["tile_x"], r["tile_y"]): (r["n_px"], r["px_crc"])
+            for r in render.render_polygon_tiles(
+                spark, None, bbox, zoom, polys=polys
+            ).collect()
+        }
+
+    t_pre = tiles_of(polys_of(nodes))
+    t_post = tiles_of(polys_of(post_nodes))
+    changed = {
+        k for k in set(t_pre) | set(t_post) if t_pre.get(k) != t_post.get(k)
+    }
+    assert changed, "the move must change some polygon tile"
+    # completeness: every changed polygon tile is expired
+    assert changed <= dirty10
+
+    # the way-segment rule ALONE misses interior swath tiles — the reason
+    # dirty_polygons exists
+    aff_w = ways.filter(F.col("id") == wid)
+    old_g = resolve.resolve_ways(aff_w, nodes)
+    new_g = resolve.resolve_ways(aff_w, post_nodes)
+    wdirty = {
+        (r["tile_x"], r["tile_y"])
+        for r in render.dirty_tiles(old_g.unionByName(new_g), zoom, zoom).collect()
+    }
+    assert changed - wdirty, "expected fill-swath tiles beyond the polyline rule"
+
+    # splice == rebuild
+    spliced = {k: v for k, v in t_pre.items() if k not in dirty10} | {
+        k: v for k, v in t_post.items() if k in dirty10
+    }
+    assert spliced == t_post
