@@ -64,8 +64,19 @@ def blockhash64(img: np.ndarray) -> int:
 
 def blockhash64_batch(imgs: np.ndarray) -> np.ndarray:
     """Vectorized blockhash over a stack (N, h, w, 3) with h, w multiples
-    of 8. Bit-identical to blockhash64 per image. Returns int64[N]."""
-    g = np.asarray(imgs, dtype=np.float64).mean(axis=3)
+    of 8. Bit-identical to blockhash64 per image. Returns int64[N].
+
+    The channel mean sums the uint8 channels in uint16 (exact: max 765)
+    and divides once in float64 — bit-identical to the float64 chain
+    ((r+g)+b)/3 because integer sums <= 765 are exact in both domains,
+    while skipping the 8x float64 materialization and the slow mixed-cast
+    pairwise reduce of the direct mean."""
+    imgs = np.asarray(imgs)
+    k = imgs[..., 0].astype(np.uint16)
+    k += imgs[..., 1]
+    k += imgs[..., 2]
+    g = k.astype(np.float64)
+    g /= 3.0
     n, h, w = g.shape
     assert h % 8 == 0 and w % 8 == 0, "batch path needs h,w multiples of 8"
     blocks = g.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).reshape(n, 64)
