@@ -34,6 +34,11 @@ from coords_spark.sources.icepick import IcepickTable
 DEFAULT_ID_SHIFT = 14  # 16k ids per chunk
 _SIDECAR = "_entity_store.json"
 
+# upsert planning collects the diff's distinct ids when they fit under
+# this cap (one Spark job instead of three) — env-tunable; bigger diffs
+# keep the fully distributed planning path
+_DIFF_COLLECT_CAP = int(os.environ.get("COORDS_DIFF_ID_COLLECT_CAP", "500000"))
+
 
 def with_id_chunk(df: DataFrame, id_col: str = "id", id_shift: int = DEFAULT_ID_SHIFT) -> DataFrame:
     """chunk_id = id >> id_shift (arithmetic shift; OSM ids are positive).
@@ -181,8 +186,32 @@ def upsert_entities(
         aff = aff.unionAll(
             deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
         )
-    aff = aff.distinct().localCheckpoint()
     new_rows = with_id_chunk(upserts, id_col, id_shift)
+    # r8: ONE bounded collect replaces the r7 distinct+checkpoint job, the
+    # chunk-set collect AND the count inside the rewrite — the diff is
+    # driver-side-bounded by contract. No .distinct() before the collect:
+    # deduping driver-side skips the shuffle stage of a micro-batch-sized
+    # diff. Past the cap (a backfill-sized diff) the distributed planning
+    # path below returns unchanged.
+    head = aff.limit(_DIFF_COLLECT_CAP + 1).collect()
+    if len(head) <= _DIFF_COLLECT_CAP:
+        ids = sorted({r[0] for r in head if r[0] is not None})
+        if any(r[0] is None for r in head):
+            ids.append(None)
+        chunks = {int(i) >> id_shift for i in ids if i is not None}
+        return _apply_way_rewrite(
+            spark,
+            table_path,
+            spark.createDataFrame([(i,) for i in ids], aff.schema),
+            new_rows,
+            group,
+            key=id_col,
+            stat="affected_entities",
+            old_chunks=chunks,
+            n_aff=len(ids),
+            aff_keys=ids,
+        )
+    aff = aff.distinct().localCheckpoint()
     return _apply_way_rewrite(
         spark,
         table_path,

@@ -132,6 +132,13 @@ def patched_nodes(nodes: DataFrame, nodes_diff: DataFrame) -> DataFrame:
     )
 
 
+# r8: a diff-sized rewrite (the streaming steady state) writes its staged
+# rows as ONE sorted file — no repartitionByRange, so no boundary-sampling
+# re-pass and one job instead of four (guide §2.4). Past these thresholds
+# the range write returns; both are env-tunable for other deployments.
+_SMALL_REWRITE_BYTES = int(os.environ.get("COORDS_SMALL_REWRITE_BYTES", str(48 << 20)))
+_SMALL_REWRITE_ROWS = int(os.environ.get("COORDS_SMALL_REWRITE_ROWS", "200000"))
+
 _LOCATOR_DIR = "_locator"
 
 
@@ -174,6 +181,83 @@ def build_locator(spark, table_path: str, key: str, id_shift: int | None = None)
     )
 
 
+def _locator_old_lists(
+    spark, table_path: str, aff: DataFrame, aff_keys: list, key: str
+) -> tuple[dict, int]:
+    """(key -> old chunk_ids, files_read) for the diff's keys from the
+    `_locator` sidecar. The pruned file set is O(diff keys / 2^shift);
+    when those files are also small (the streaming steady state) they are
+    read DRIVER-SIDE with pyarrow — zero Spark jobs — else through the
+    pruned Spark read + semi-join collect (post-compact locators can be
+    one large file; scanning that belongs on executors)."""
+    from coords_spark.operators import entity_store as ES
+
+    loc_path = _locator_path(table_path)
+    _id_col, loc_shift = ES.load_contract(loc_path)
+    loc_t = IcepickTable(loc_path)
+    ranges = ES._merge_ranges(
+        sorted({int(k) >> loc_shift for k in aff_keys if k is not None})
+    )
+    paths = loc_t.data_paths_ranges(ranges)
+    if not paths:
+        return {}, 0
+    if sum(os.path.getsize(p) for p in paths) <= _SMALL_REWRITE_BYTES:
+        try:
+            import pyarrow.parquet as _pq
+
+            affset = set(aff_keys)
+            old_map: dict = {}
+            for p in paths:
+                lt = _pq.read_table(p, columns=[key, "chunk_ids"])
+                for kk, cl in zip(
+                    lt.column(key).to_pylist(), lt.column("chunk_ids").to_pylist()
+                ):
+                    if kk in affset:
+                        old_map[kk] = list(cl)
+            return old_map, len(paths)
+        except Exception:
+            pass  # schema surprise: executor path below
+    rows = spark.read.parquet(*paths).join(F.broadcast(aff), key, "semi").collect()
+    return {r[0]: list(r[1]) for r in rows}, len(paths)
+
+
+def _stage_small_rewrite_arrow(
+    staging: str, replace_paths: list[str], aff_keys: list, new_tbl, key: str
+) -> bool:
+    """Stage a diff-sized rewrite entirely driver-side: filter the
+    affected keys out of the (small, local) replaced files with pyarrow,
+    concat the already-collected new rows, write ONE sorted parquet.
+    Returns False on any schema surprise so the caller can fall back to
+    the Spark write — results are identical either way, this path only
+    removes the fixed cost of a Spark write job per streaming batch."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        parts = [new_tbl]
+        if replace_paths:
+            keyvals = [k for k in aff_keys if k is not None]
+            for p in replace_paths:
+                ft = _pq.read_table(p)
+                mask = pc.is_in(
+                    ft.column(key),
+                    value_set=pa.array(keyvals, ft.schema.field(key).type),
+                )
+                # null keys never match an anti-join: keep them
+                surv = ft.filter(pc.fill_null(pc.invert(mask), True))
+                parts.append(surv.select(new_tbl.column_names).cast(new_tbl.schema))
+        tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        if tbl.num_rows:
+            _pq.write_table(
+                tbl.sort_by([("chunk_id", "ascending")]),
+                os.path.join(staging, "updated.parquet"),
+            )
+        return True
+    except Exception:
+        return False
+
+
 def _apply_way_rewrite(
     spark,
     table_path: str,
@@ -183,6 +267,8 @@ def _apply_way_rewrite(
     key: str = "way_id",
     stat: str = "affected_ways",
     old_chunks: set[int] | None = None,
+    n_aff: int | None = None,
+    aff_keys: list | None = None,
 ) -> dict:
     """Shared rewrite machinery: drop every `aff` entity (matched on `key`)
     from the files whose chunk range holds one (row-exact left_anti
@@ -207,39 +293,58 @@ def _apply_way_rewrite(
     rewrite's file set, never lose a stale row — and the next touch of the
     same keys re-trims it (self-healing)."""
     table = IcepickTable(table_path)
-    n_aff = aff.count()
+    if n_aff is None:
+        n_aff = aff.count()
     if n_aff == 0:
         return {stat: 0, "files_replaced": 0, "files_added": 0}
 
     locator = old_chunks is None and has_locator(table_path)
     loc_files_read = 0
+    new_map: dict = {}
+    new_tbl = None
     if locator:
         from coords_spark.operators import entity_store as ES
 
-        # one materialization of the re-derived rows: both the (key,
-        # chunk) pairs and the staged write consume them
-        new_rows = new_rows.localCheckpoint()
-        new_pairs = new_rows.select(key, "chunk_id").distinct()
-        loc_rows, loc_files_read = ES.read_entities_for_ids(
-            spark, _locator_path(table_path), aff
+        # r8: the locator planning lists are all diff-bounded (the same
+        # contract as the chunk sets), so compute the union/trim lists
+        # DRIVER-SIDE instead of the r7 chain of checkpoint + explode/
+        # distinct/collect + two groupBy jobs — the per-batch Spark JOB
+        # COUNT is what dominates a streaming upsert. The new rows are
+        # collected ONCE as Arrow and reused by the staged write below.
+        if aff_keys is None:
+            aff_keys = [r[0] for r in aff.collect()]
+        if n_aff <= _SMALL_REWRITE_ROWS:
+            try:
+                new_tbl = new_rows.toArrow()
+            except Exception:
+                new_tbl = None
+        if new_tbl is not None:
+            for kk, cc in zip(
+                new_tbl.column(key).to_pylist(),
+                new_tbl.column("chunk_id").to_pylist(),
+            ):
+                new_map.setdefault(kk, set()).add(cc)
+        else:
+            # one materialization: (key, chunk) pairs AND the staged write
+            # both consume the re-derived rows
+            new_rows = new_rows.localCheckpoint()
+            for r in new_rows.select(key, "chunk_id").distinct().collect():
+                new_map.setdefault(r[0], set()).add(r[1])
+        old_map, loc_files_read = _locator_old_lists(
+            spark, table_path, aff, aff_keys, key
         )
-        old_lists = loc_rows.join(aff, key, "semi").localCheckpoint()
-        old_aff_chunks = {
-            r[0]
-            for r in old_lists.select(F.explode("chunk_ids").alias("c"))
-            .distinct()
-            .collect()
-        }
+        old_aff_chunks = {c for cl in old_map.values() for c in cl}
         # pre-commit the UNION so the locator is a superset before any
         # table state moves (see docstring crash ordering)
-        union_lists = (
-            old_lists.select(key, F.explode("chunk_ids").alias("chunk_id"))
-            .unionByName(new_pairs)
-            .groupBy(key)
-            .agg(F.array_sort(F.collect_set("chunk_id")).alias("chunk_ids"))
-        )
+        union_rows = [
+            (k, sorted(set(old_map.get(k, ())) | new_map.get(k, set())))
+            for k in sorted(set(old_map) | set(new_map))
+        ]
         ES.upsert_entities(
-            spark, _locator_path(table_path), union_lists, group=f"{group}-pre"
+            spark,
+            _locator_path(table_path),
+            spark.createDataFrame(union_rows, f"{key} bigint, chunk_ids array<bigint>"),
+            group=f"{group}-pre",
         )
     elif old_chunks is not None:
         old_aff_chunks = set(old_chunks) if table.data_paths() else set()
@@ -273,40 +378,75 @@ def _apply_way_rewrite(
 
     staging = tempfile.mkdtemp(prefix="way_rewrite_", dir=table_path)
     # rewritten survivors: replaced files minus affected ways (row-exact
-    # on way_id — a file's chunk range may span untouched chunks too)
-    if replace_paths:
+    # on way_id — a file's chunk range may span untouched chunks too);
+    # re-chunked affected ways append beside existing coverage (reads
+    # union overlapping ranges, so untouched files stay untouched)
+    replace_bytes = sum(os.path.getsize(p) for p in replace_paths)
+    small = replace_bytes <= _SMALL_REWRITE_BYTES and n_aff <= _SMALL_REWRITE_ROWS
+    staged_small = False
+    if small:
+        # diff-sized rewrite (the streaming steady state): survivors + new
+        # rows land as ONE sorted file, staged DRIVER-SIDE. Everything
+        # involved is bounded by the thresholds (the same diff-bounded
+        # contract as every planning list): the new rows collect as Arrow
+        # (one job — or zero, when the locator branch already did), the
+        # small local replaced files filter with pyarrow. A Spark parquet
+        # write job costs ~0.4-0.6 s fixed on local (committer setup, task
+        # temp dirs, renames); this path pays a collect instead.
+        if new_tbl is None:
+            try:
+                new_tbl = new_rows.toArrow()
+            except Exception:
+                new_tbl = None  # exotic type: Spark write below
+        if new_tbl is not None and aff_keys is None:
+            aff_keys = [r[0] for r in aff.collect()]
+        if new_tbl is not None:
+            staged_small = _stage_small_rewrite_arrow(
+                staging, replace_paths, aff_keys, new_tbl, key
+            )
+        if not staged_small:
+            rows = new_rows
+            if replace_paths:
+                rows = (
+                    spark.read.parquet(*replace_paths)
+                    .join(F.broadcast(aff), key, "left_anti")
+                    .unionByName(new_rows)
+                )
+            (
+                rows.coalesce(1)
+                .sortWithinPartitions("chunk_id")
+                .write.mode("append")
+                .parquet(os.path.join(staging, "updated"))
+            )
+    else:
+        if replace_paths:
+            (
+                spark.read.parquet(*replace_paths)
+                .join(aff, key, "left_anti")
+                .repartitionByRange("chunk_id")
+                .sortWithinPartitions("chunk_id")
+                .write.mode("append")
+                .parquet(os.path.join(staging, "rewritten"))
+            )
         (
-            spark.read.parquet(*replace_paths)
-            .join(aff, key, "left_anti")
-            .repartitionByRange("chunk_id")
+            new_rows.repartitionByRange("chunk_id")
             .sortWithinPartitions("chunk_id")
             .write.mode("append")
-            .parquet(os.path.join(staging, "rewritten"))
+            .parquet(os.path.join(staging, "updated"))
         )
-    # re-chunked affected ways (their NEW chunks may land anywhere; reads
-    # union overlapping ranges, so appending beside existing coverage is
-    # correct and keeps untouched files untouched)
-    (
-        new_rows.repartitionByRange("chunk_id")
-        .sortWithinPartitions("chunk_id")
-        .write.mode("append")
-        .parquet(os.path.join(staging, "updated"))
-    )
     # Spark leaves _SUCCESS markers; _finalize_staged globs *.parquet only
     n_total = len(table.files())
     entries = table.commit_replace(staging, [e["path"] for e in replace], group=group)
     if locator:
         # trim to exactly the new chunk ids (deleted keys drop out); a
         # crash before this point leaves the pre-committed superset
-        new_lists = new_pairs.groupBy(key).agg(
-            F.array_sort(F.collect_set("chunk_id")).alias("chunk_ids")
-        )
-        gone = aff.join(new_lists.select(key), key, "left_anti")
+        new_lists = [(k, sorted(v)) for k, v in sorted(new_map.items())]
+        gone = [(k,) for k in aff_keys if k not in new_map]
         ES.upsert_entities(
             spark,
             _locator_path(table_path),
-            new_lists,
-            deleted_ids=gone,
+            spark.createDataFrame(new_lists, f"{key} bigint, chunk_ids array<bigint>"),
+            deleted_ids=spark.createDataFrame(gone, f"{key} bigint"),
             group=f"{group}-post",
         )
     return {

@@ -156,7 +156,11 @@ def test_long_stream_maintenance_bounds_files(spark, tmp_path):
             assert len(tm.files()) <= len(tp_.files()), pm
             assert len(tm.versions()) <= len(tp_.versions()), pm
         else:
-            assert len(tm.files()) < len(tp_.files()), pm
+            # r8: a diff-sized rewrite stages its whole touched range as
+            # ONE merged file, so in this tiny world the un-maintained
+            # table no longer fragments its live file count — snapshots
+            # remain the unbounded-growth axis maintenance must cap
+            assert len(tm.files()) <= len(tp_.files()), pm
             # snapshots: expiry keeps 2 manifests + the few commits since
             # the last sweep; the plain run accumulates one per commit
             assert len(tm.versions()) < len(tp_.versions()), pm
