@@ -24,6 +24,8 @@ Ways shorter than 2 vertices emit no segments (nothing to draw).
 
 from __future__ import annotations
 
+import os as _env_os
+
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -31,6 +33,32 @@ from pyspark.sql import functions as F
 
 from coords_spark.kernels import codec, mercator, raster
 from coords_spark.operators import ingest, tiling
+
+# a pyramid level whose viewport holds at most this many tiles is
+# collected as Arrow and written driver-side (one job instead of
+# checkpoint + range-sampling + write); env-tunable — bigger viewports
+# keep the distributed range write
+_SMALL_LEVEL_TILES = int(_env_os.environ.get("COORDS_SMALL_LEVEL_TILES", "16384"))
+
+
+def _write_level_files_arrow(tbl, stage: str, n_files: int) -> None:
+    """Write a collected tile level as `n_files` contiguous slices of the
+    (tile_x, tile_y)-sorted table — the same tight per-file tile_x
+    lineage the repartitionByRange write produces, without the sampling
+    pass or the write job."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if tbl.num_rows == 0:
+        return
+    tbl = tbl.sort_by([("tile_x", "ascending"), ("tile_y", "ascending")])
+    n = min(max(1, n_files), tbl.num_rows)
+    step = -(-tbl.num_rows // n)
+    for i, lo in enumerate(range(0, tbl.num_rows, step)):
+        _pq.write_table(
+            tbl.slice(lo, step), os.path.join(stage, f"part-{i:04d}.parquet")
+        )
 
 
 def bbox_tile_range(bbox, zoom: int, tile_px: int = 256) -> tuple[int, int, int, int]:
@@ -205,10 +233,15 @@ def render_tile_images(
             [(int(a), int(b)) for a, b in only_tiles], "tx long, ty long"
         )
         tiles = tiles.join(F.broadcast(want), ["tx", "ty"])
+    # way_id rides inside the collected struct and the distinct-way count
+    # moves into the raster UDF (np.unique per group): a count_distinct
+    # BESIDE collect_list forces the aggregate out of the cheap plan
+    # (measured ~1.6x on the grouped stage at sf0.1) for a value the UDF
+    # derives for free from rows it already receives (guide §2.3).
     grouped = tiles.groupBy("tx", "ty").agg(
-        F.count_distinct("way_id").alias("n_ways"),
         F.collect_list(
             F.struct(
+                F.col("way_id").alias("w"),
                 (F.col("x0") - F.col("tx") * tp).alias("x0"),
                 (F.col("y0") - F.col("ty") * tp).alias("y0"),
                 (F.col("x1") - F.col("tx") * tp).alias("x1"),
@@ -219,7 +252,7 @@ def render_tile_images(
         ).alias("segs"),
     )
 
-    @F.arrow_udf("struct<n_px: bigint, px_crc: bigint, payload: binary>")
+    @F.arrow_udf("struct<n_ways: bigint, n_px: bigint, px_crc: bigint, payload: binary>")
     def _raster(segs: pa.Array) -> pa.Array:
         import zlib
 
@@ -227,19 +260,21 @@ def render_tile_images(
             segs = segs.combine_chunks()
         offs = _list_offsets(segs)
         flat = segs.flatten()
+        wid = flat.field("w").to_numpy(zero_copy_only=False)
         x0 = flat.field("x0").to_numpy(zero_copy_only=False)
         y0 = flat.field("y0").to_numpy(zero_copy_only=False)
         x1 = flat.field("x1").to_numpy(zero_copy_only=False)
         y1 = flat.field("y1").to_numpy(zero_copy_only=False)
         k_lo = flat.field("k_lo").to_numpy(zero_copy_only=False)
         k_hi = flat.field("k_hi").to_numpy(zero_copy_only=False)
-        n_px, crcs, payloads = [], [], []
+        n_ways_l, n_px, crcs, payloads = [], [], [], []
         for i in range(len(offs) - 1):
             sl = slice(offs[i], offs[i + 1])
             img = raster.rasterize_segments(
                 x0[sl], y0[sl], x1[sl], y1[sl], tp, tp,
                 k_lo=k_lo[sl], k_hi=k_hi[sl],
             )
+            n_ways_l.append(int(np.unique(wid[sl]).size))
             n_px.append(int(np.count_nonzero(img)))
             crcs.append(zlib.crc32(img.tobytes()))
             payloads.append(
@@ -247,19 +282,19 @@ def render_tile_images(
             )
         return pa.StructArray.from_arrays(
             [
+                pa.array(n_ways_l, pa.int64()),
                 pa.array(n_px, pa.int64()),
                 pa.array(crcs, pa.int64()),
                 pa.array(payloads, pa.binary()),
             ],
-            names=["n_px", "px_crc", "payload"],
+            names=["n_ways", "n_px", "px_crc", "payload"],
         )
 
     return grouped.select(
         F.col("tx").cast("long").alias("tile_x"),
         F.col("ty").cast("long").alias("tile_y"),
-        F.col("n_ways").cast("long").alias("n_ways"),
         _raster(F.col("segs")).alias("r"),
-    ).select("tile_x", "tile_y", "n_ways", "r.n_px", "r.px_crc", "r.payload")
+    ).select("tile_x", "tile_y", "r.n_ways", "r.n_px", "r.px_crc", "r.payload")
 
 
 def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> DataFrame:
@@ -400,16 +435,29 @@ def build_pyramid_table(
 
     def _commit(df: DataFrame, z: int) -> None:
         stage = tempfile.mkdtemp(prefix=f"pyr_z{z}_")
-        # materialize ONCE before the range write: repartitionByRange runs a
-        # sampling pass first, which would re-execute the whole lazy render
-        # chain (rasterize + encode) a second time (CLAUDE.md gotcha)
-        df = df.localCheckpoint()
-        # range-cluster by tile so each file's tile_x lineage is TIGHT —
-        # this is what lets refresh_pyramid_table rewrite only the files
-        # a dirty tile can live in (and tile fetches range-prune)
-        df.repartitionByRange(level_partitions, "tile_x", "tile_y").write.mode(
-            "overwrite"
-        ).parquet(stage)
+        # viewport-bounded levels (tile count known from the bbox BEFORE
+        # any job) collect as Arrow and write their range-clustered files
+        # driver-side: one job executes the render chain exactly once,
+        # replacing localCheckpoint + range-sampling + write (the
+        # checkpoint existed only to keep the sampling pass from
+        # re-rendering). Bigger levels keep that classic path.
+        tx0_, tx1_, ty0_, ty1_ = bbox_tile_range(bbox, z, tile_px)
+        tbl = None
+        if (tx1_ - tx0_ + 1) * (ty1_ - ty0_ + 1) <= _SMALL_LEVEL_TILES:
+            try:
+                tbl = df.toArrow()
+            except Exception:
+                tbl = None
+        if tbl is not None:
+            _write_level_files_arrow(tbl, stage, level_partitions)
+        else:
+            df = df.localCheckpoint()
+            # range-cluster by tile so each file's tile_x lineage is TIGHT —
+            # this is what lets refresh_pyramid_table rewrite only the files
+            # a dirty tile can live in (and tile fetches range-prune)
+            df.repartitionByRange(level_partitions, "tile_x", "tile_y").write.mode(
+                "overwrite"
+            ).parquet(stage)
         # each entry carries its zoom so refresh_pyramid_table can identify
         # a level's files regardless of which commit (build or a later
         # refresh) produced them
@@ -425,11 +473,21 @@ def build_pyramid_table(
             .select("zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload")
         )
         _commit(base, zoom)
+    import os as _os
+
     for z in range(zoom - 1, min_zoom - 1, -1):
         if f"z{z}" in t.committed_groups():
             continue
+        # manifest zoom stamps prune the children read to the level above
+        # BEFORE Spark sees a path (files without a stamp stay, filtered
+        # by the predicate as before)
+        child_paths = [
+            _os.path.join(t.path, e["path"])
+            for e in t.files()
+            if e.get("zoom") in (z + 1, None)
+        ]
         children = (
-            spark.read.parquet(*t.data_paths())
+            spark.read.parquet(*child_paths)
             .filter(F.col("zoom") == z + 1)
             .select("tile_x", "tile_y", "payload")
         )
@@ -560,9 +618,20 @@ def refresh_pyramid_table(
         keep the range write, checkpointed first so sampling cannot
         re-render (CLAUDE.md gotcha)."""
         if n_dirty <= 64:
-            staged.coalesce(1).sortWithinPartitions("tile_x", "tile_y").write.mode(
-                "overwrite"
-            ).parquet(stage)
+            # r8: collect the (dirty-bounded) staged level as Arrow and
+            # write the single sorted file driver-side — one job, no
+            # parquet-committer fixed cost
+            tbl = None
+            try:
+                tbl = staged.toArrow()
+            except Exception:
+                tbl = None
+            if tbl is not None:
+                _write_level_files_arrow(tbl, stage, 1)
+            else:
+                staged.coalesce(1).sortWithinPartitions(
+                    "tile_x", "tile_y"
+                ).write.mode("overwrite").parquet(stage)
         else:
             staged = staged.localCheckpoint()
             staged.repartitionByRange(
@@ -916,8 +985,10 @@ def vector_tiles(
         )
         .distinct()  # several pieces of one segment may touch the tile
     )
+    # n_ways derives inside the blob UDF (np.unique over the way_id field
+    # already in the collected struct) — same count_distinct-beside-
+    # collect_list plan regression as render_tile_images (guide §2.3)
     grouped = segs.groupBy("tx", "ty").agg(
-        F.count_distinct("way_id").alias("n_ways"),
         F.array_sort(
             F.collect_list(F.struct("way_id", "seg_idx", "x0", "y0", "x1", "y1"))
         ).alias("segs"),
@@ -931,7 +1002,10 @@ def vector_tiles(
     # the same in-window geometry, and bytes never silently corrupt.
     _I32 = (1 << 31) - 1
 
-    @F.arrow_udf("struct<n_geoms: bigint, n_segs: bigint, payload_crc: bigint, payload: binary>")
+    @F.arrow_udf(
+        "struct<n_ways: bigint, n_geoms: bigint, n_segs: bigint, "
+        "payload_crc: bigint, payload: binary>"
+    )
     def _assemble(segs_col: pa.Array) -> pa.Array:
         if isinstance(segs_col, pa.ChunkedArray):
             segs_col = segs_col.combine_chunks()
@@ -946,12 +1020,13 @@ def vector_tiles(
             ).astype(np.int32)
             for f in ("x0", "y0", "x1", "y1")
         )
-        n_geoms_l, n_segs_l, crcs, payloads = [], [], [], []
+        n_ways_l, n_geoms_l, n_segs_l, crcs, payloads = [], [], [], [], []
         for gi in range(len(offs) - 1):
             s0, s1 = offs[gi], offs[gi + 1]
             n = s1 - s0
             w = way_id[s0:s1]
             si = seg_idx[s0:s1]
+            n_ways_l.append(int(np.unique(w).size))
             # run starts: way change OR a seg_idx gap (rows arrive sorted by
             # (way_id, seg_idx) from array_sort) — np.diff over both keys
             # replaces the per-segment Python while-loop (VERDICT r6 #8)
@@ -979,21 +1054,21 @@ def vector_tiles(
             payloads.append(payload)
         return pa.StructArray.from_arrays(
             [
+                pa.array(n_ways_l, pa.int64()),
                 pa.array(n_geoms_l, pa.int64()),
                 pa.array(n_segs_l, pa.int64()),
                 pa.array(crcs, pa.int64()),
                 pa.array(payloads, pa.binary()),
             ],
-            names=["n_geoms", "n_segs", "payload_crc", "payload"],
+            names=["n_ways", "n_geoms", "n_segs", "payload_crc", "payload"],
         )
 
     return grouped.select(
         F.col("tx").cast("long").alias("tile_x"),
         F.col("ty").cast("long").alias("tile_y"),
-        F.col("n_ways").cast("long").alias("n_ways"),
         _assemble(F.col("segs")).alias("v"),
     ).select(
-        "tile_x", "tile_y", "n_ways", "v.n_geoms", "v.n_segs",
+        "tile_x", "tile_y", "v.n_ways", "v.n_geoms", "v.n_segs",
         "v.payload_crc", "v.payload",
     )
 

@@ -39,6 +39,11 @@ import pyarrow.parquet as pq
 
 _CURRENT = "CURRENT"
 
+# compact() packs signature groups up to this size driver-side with
+# pyarrow (skipping Spark job fixed costs); env-tunable for deployments
+# with bigger driver memory or remote storage (where it must be 0)
+_SMALL_COMPACT_BYTES = int(os.environ.get("COORDS_SMALL_COMPACT_BYTES", str(64 << 20)))
+
 
 def _sha256_file(path: str, bufsize: int = 1 << 20) -> str:
     h = hashlib.sha256()
@@ -362,6 +367,19 @@ class IcepickTable:
             size = sum(os.path.getsize(p) for p in paths)
             nparts = max(1, math.ceil(size / target_bytes))
             staging = tempfile.mkdtemp(prefix="compact_", dir=self.path)
+            # r8: small signature groups (local files, bounded bytes) pack
+            # DRIVER-SIDE with pyarrow — threaded reads, one global sort,
+            # contiguous slices — skipping the Spark read + range-sampling
+            # + write jobs whose fixed cost dominates a small compact.
+            # Bigger groups keep the distributed path; any schema surprise
+            # falls back to it too.
+            if size <= _SMALL_COMPACT_BYTES and self._pack_arrow(
+                paths, staging, nparts, chunk_col
+            ):
+                staged.append((staging, dict(sig) or None))
+                compacted += es
+                total += size
+                continue
             df = spark.read.parquet(*paths)
             if chunk_col in df.columns:
                 df = df.repartitionByRange(nparts, chunk_col).sortWithinPartitions(
@@ -383,6 +401,39 @@ class IcepickTable:
             "files_written": len(entries),
             "bytes_in": total,
         }
+
+    @staticmethod
+    def _pack_arrow(paths: list[str], staging: str, nparts: int, chunk_col: str) -> bool:
+        """Driver-side bin-pack of small local files: threaded pyarrow
+        reads, one sort by chunk_col (when present), nparts contiguous
+        slices. Returns False on any read/schema surprise so compact()
+        can fall back to the Spark rewrite."""
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+                tables = list(ex.map(_pq.read_table, paths))
+            tbl = (
+                pa.concat_tables(tables, promote_options="default")
+                if len(tables) > 1
+                else tables[0]
+            )
+            if tbl.num_rows == 0:
+                return True
+            if chunk_col in tbl.column_names:
+                tbl = tbl.sort_by([(chunk_col, "ascending")])
+            n = min(max(1, nparts), tbl.num_rows)
+            step = -(-tbl.num_rows // n)
+            for i, lo in enumerate(range(0, tbl.num_rows, step)):
+                _pq.write_table(
+                    tbl.slice(lo, step), os.path.join(staging, f"packed-{i:04d}.parquet")
+                )
+            return True
+        except Exception:
+            return False
 
     def expire_snapshots(self, keep_n: int = 1) -> dict:
         """Drop all manifests but the newest keep_n and DELETE data files no
