@@ -93,6 +93,61 @@ def subtree_sizes(df: DataFrame, cell: str, nbytes: str, base_level: int) -> Dat
     return _ancestor_rollup(_capped_per_cell(df, cell, nbytes, base_level))
 
 
+# the distinct-cell table is bounded by 4^base_level; up to this many
+# rows it collects (one Arrow job) and the ancestor rollup runs in numpy
+# driver-side — one pass over the data instead of two shuffles plus a
+# second rollup job. Env-tunable; bigger per-cell tables keep the
+# distributed rollup.
+_PER_CELL_COLLECT_CAP = int(os.environ.get("COORDS_PER_CELL_COLLECT_CAP", "4000000"))
+
+
+def _rollup_split_np(
+    cells: np.ndarray, b: np.ndarray, max_bytes: int, base_level: int
+) -> np.ndarray:
+    """Driver-side twin of subtree_sizes + the > max_bytes filter:
+    bottom-up quadtree rollup over the (distinct capped cell, bytes)
+    pairs. Integer sums, identical to the Spark SUM, so the split set is
+    byte-identical to the distributed rollup."""
+    cells = np.asarray(cells, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    level = zcurve.cell_level(cells)
+    out: list[np.ndarray] = []
+    cur_nodes = np.empty(0, dtype=np.int64)
+    cur_sums = np.empty(0, dtype=np.int64)
+    for l in range(base_level, -1, -1):
+        sel = level == l
+        nodes_l = cells[sel]
+        b_l = b[sel]
+        if cur_nodes.size:
+            nodes_l = np.concatenate([nodes_l, zcurve.z_ancestor(cur_nodes, l)])
+            b_l = np.concatenate([b_l, cur_sums])
+        if nodes_l.size == 0:
+            continue
+        uniq, inv = np.unique(nodes_l, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, b_l)
+        out.append(uniq[sums > max_bytes])
+        cur_nodes, cur_sums = uniq, sums
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(out))
+
+
+def _per_cell_arrow(per_cell: DataFrame):
+    """(cells, bytes) numpy pair when the distinct-cell table fits under
+    the collect cap, else None (caller keeps the distributed path)."""
+    try:
+        tbl = per_cell.limit(_PER_CELL_COLLECT_CAP + 1).toArrow()
+    except Exception:
+        return None
+    if tbl.num_rows > _PER_CELL_COLLECT_CAP:
+        return None
+    return (
+        tbl.column("c").to_numpy(zero_copy_only=False),
+        tbl.column("b").to_numpy(zero_copy_only=False),
+    )
+
+
 def compute_split_set(
     df: DataFrame,
     cell: str = "cell",
@@ -102,8 +157,12 @@ def compute_split_set(
 ) -> np.ndarray:
     """Collect the (small) set of quadtree nodes whose subtree exceeds
     max_bytes — the only data that ever reaches the driver."""
+    per_cell = _capped_per_cell(df, cell, nbytes, base_level)
+    got = _per_cell_arrow(per_cell)
+    if got is not None:
+        return _rollup_split_np(got[0], got[1], max_bytes, base_level)
     rows = (
-        subtree_sizes(df, cell, nbytes, base_level)
+        _ancestor_rollup(per_cell)
         .filter(F.col("sub_bytes") > max_bytes)
         .select("node")
         .collect()
@@ -130,6 +189,18 @@ def compute_split_set_and_weights(
     sampling is a second full evaluation of the input (including the
     Python anchor stage) at 10^12 rows. See materialize_chunk_table."""
     per_cell = _capped_per_cell(df, cell, nbytes, base_level)
+    got = _per_cell_arrow(per_cell)
+    if got is not None:
+        # ONE job total: the rollup, the split filter AND the per-chunk
+        # weights all derive in numpy from the collected per-cell pairs
+        # (assign_chunks_np is the same vectorized rule the executors run)
+        c, b = got
+        split = _rollup_split_np(c, b, max_bytes, base_level)
+        chunk = assign_chunks_np(np.asarray(c, dtype=np.int64), split, base_level)
+        uniq, inv = np.unique(chunk, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, np.asarray(b, dtype=np.int64))
+        return split, {int(k): int(w) for k, w in zip(uniq, sums)}
     per_cell.persist()
     try:
         split_rows = (
@@ -243,13 +314,20 @@ def chunk_groups_col(chunk_name: str, group_level: int = 2) -> F.Column:
     )
 
 
+_TOKEN_CACHE: dict[int, dict[int, int]] = {}
+
+
 def _partition_tokens(spark, n: int) -> dict[int, int]:
     """One token per shuffle-partition index: the smallest long t with
     pmod(hash(t), n) == p, queried from Spark itself so the Murmur3 mapping
     is exact. Lets a driver-computed partition INDEX be realized through
     plain hash repartitioning (repartition(n, token_col)) — no range
     sampling, no custom partitioner. Deterministic; the search job scans a
-    tiny integer range, never data."""
+    tiny integer range, never data. Memoized per n (a pure function of
+    Spark's hash), so repeated materializations skip the search job."""
+    cached = _TOKEN_CACHE.get(n)
+    if cached is not None:
+        return cached
     m = 64 * n
     while True:
         rows = (
@@ -261,6 +339,7 @@ def _partition_tokens(spark, n: int) -> dict[int, int]:
         )
         toks = {int(r["p"]): int(r["tok"]) for r in rows}
         if len(toks) >= n:
+            _TOKEN_CACHE[n] = toks
             return toks
         m *= 4  # coupon-collector miss at tiny n: widen the search
 
