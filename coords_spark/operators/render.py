@@ -40,6 +40,11 @@ from coords_spark.operators import ingest, tiling
 # keep the distributed range write
 _SMALL_LEVEL_TILES = int(_env_os.environ.get("COORDS_SMALL_LEVEL_TILES", "16384"))
 
+# the driver-side overzoom decodes/encodes every child single-threaded, so
+# its cap is the per-level CHILD count where ~1 s of local codec work
+# still beats a Spark shuffle + UDF job — far smaller than the write cap
+_SMALL_OVERZOOM_TILES = int(_env_os.environ.get("COORDS_SMALL_OVERZOOM_TILES", "512"))
+
 
 def _write_level_files_arrow(tbl, stage: str, n_files: int) -> None:
     """Write a collected tile level as `n_files` contiguous slices of the
@@ -297,6 +302,51 @@ def render_tile_images(
     ).select("tile_x", "tile_y", "r.n_ways", "r.n_px", "r.px_crc", "r.payload")
 
 
+def _pool_group(group, tp: int, fmt: str) -> np.ndarray:
+    """ONE parent's 2x max-pool mosaic from its <=4 children — the single
+    statement of the overzoom pixel rule, shared by the Spark UDF and the
+    driver-side small-level path (the scalar twins in tests/goldens remain
+    the independent checks). `group`: dicts with qx, qy, payload."""
+    mosaic = np.zeros((2 * tp, 2 * tp), np.uint8)
+    for ch in group:
+        img = codec.decode_image(bytes(ch["payload"]), fmt, tp, tp)
+        qy, qx = int(ch["qy"]) * tp, int(ch["qx"]) * tp
+        mosaic[qy : qy + tp, qx : qx + tp] = img[:, :, 0]
+    return mosaic.reshape(tp, 2, tp, 2).max(axis=(1, 3))
+
+
+def overzoom_rows_local(rows, tile_px: int = 256, fmt: str = "pngz"):
+    """Driver-side overzoom of ONE level: `rows` iterable of (tile_x,
+    tile_y, payload) -> sorted list of parent tuples (tile_x, tile_y,
+    n_children, n_px, px_crc, payload). Same per-parent rule as
+    overzoom_tiles (shared _pool_group); exists so viewport-bounded
+    pyramid levels can roll up without a Spark shuffle + UDF job."""
+    import zlib
+
+    groups: dict[tuple[int, int], list[dict]] = {}
+    for tx, ty, payload in rows:
+        tx, ty = int(tx), int(ty)  # viewport tiles are non-negative
+        groups.setdefault((tx // 2, ty // 2), []).append(
+            {"qx": tx % 2, "qy": ty % 2, "payload": payload}
+        )
+    out = []
+    for (ptx, pty), group in sorted(groups.items()):
+        pooled = _pool_group(group, tile_px, fmt)
+        out.append(
+            (
+                ptx,
+                pty,
+                len(group),
+                int(np.count_nonzero(pooled)),
+                zlib.crc32(pooled.tobytes()),
+                codec.encode_image(
+                    np.repeat(pooled[:, :, None], 3, axis=2), fmt
+                ),
+            )
+        )
+    return out
+
+
 def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> DataFrame:
     """ONE zoom step of the raster tile pyramid: zoom-z tiles
     (tile_x, tile_y, payload) -> zoom-(z-1) tiles. The standard map-tile
@@ -322,12 +372,7 @@ def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> D
             children = children.combine_chunks()
         n_px, crcs, payloads = [], [], []
         for group in children.to_pylist():
-            mosaic = np.zeros((2 * tp, 2 * tp), np.uint8)
-            for ch in group:
-                img = codec.decode_image(bytes(ch["payload"]), fmt, tp, tp)
-                qy, qx = int(ch["qy"]) * tp, int(ch["qx"]) * tp
-                mosaic[qy : qy + tp, qx : qx + tp] = img[:, :, 0]
-            pooled = mosaic.reshape(tp, 2, tp, 2).max(axis=(1, 3))
+            pooled = _pool_group(group, tp, fmt)
             n_px.append(int(np.count_nonzero(pooled)))
             crcs.append(zlib.crc32(pooled.tobytes()))
             payloads.append(
@@ -367,6 +412,55 @@ def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> D
     )
 
 
+def _level_table_arrow(z: int, parents: list) -> "pa.Table":
+    """(zoom, tile_x, tile_y, n_src, n_px, px_crc, payload) pa.Table from
+    overzoom_rows_local output."""
+    return pa.table(
+        {
+            "zoom": pa.array([z] * len(parents), pa.int64()),
+            "tile_x": pa.array([p[0] for p in parents], pa.int64()),
+            "tile_y": pa.array([p[1] for p in parents], pa.int64()),
+            "n_src": pa.array([p[2] for p in parents], pa.int64()),
+            "n_px": pa.array([p[3] for p in parents], pa.int64()),
+            "px_crc": pa.array([p[4] for p in parents], pa.int64()),
+            "payload": pa.array([p[5] for p in parents], pa.binary()),
+        }
+    )
+
+
+def _overzoom_level_local(
+    t, child_paths: list[str], z: int, tile_px: int, fmt: str, level_partitions: int
+) -> bool:
+    """Roll ONE sink pyramid level driver-side: read the (small, local,
+    zoom-pruned) children files with pyarrow, pool with the shared
+    _pool_group rule, write + commit the level — zero Spark jobs. Returns
+    False on any surprise so the caller runs the distributed overzoom."""
+    import tempfile
+
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        rows: list = []
+        for p in child_paths:
+            ft = _pq.read_table(p, columns=["zoom", "tile_x", "tile_y", "payload"])
+            ft = ft.filter(pc.equal(ft.column("zoom"), z + 1))
+            rows.extend(
+                zip(
+                    ft.column("tile_x").to_pylist(),
+                    ft.column("tile_y").to_pylist(),
+                    ft.column("payload").to_pylist(),
+                )
+            )
+        parents = overzoom_rows_local(rows, tile_px, fmt)
+        stage = tempfile.mkdtemp(prefix=f"pyr_z{z}_")
+        _write_level_files_arrow(_level_table_arrow(z, parents), stage, level_partitions)
+        t.commit_staged(stage, group=f"z{z}", chunk_col="tile_x", extra_stats={"zoom": z})
+        return True
+    except Exception:
+        return False
+
+
 def render_tile_pyramid(
     spark,
     table_path: str,
@@ -384,12 +478,51 @@ def render_tile_pyramid(
     Each level is materialized (localCheckpoint — viewport-bounded tile
     count) before feeding the next, mirroring the write-z/read-z-minus-1
     shape a planet-scale pipeline uses against the tile sink."""
-    base = (
+    cols = ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload"]
+    base_df = (
         render_tile_images(spark, table_path, bbox, zoom, tile_px, base_level, fmt)
         .withColumnRenamed("n_ways", "n_src")
         .withColumn("zoom", F.lit(zoom).cast("long"))
-        .localCheckpoint()
+        .select(*cols)
     )
+    tx0, tx1, ty0, ty1 = bbox_tile_range(bbox, zoom, tile_px)
+    if (tx1 - tx0 + 1) * (ty1 - ty0 + 1) <= _SMALL_OVERZOOM_TILES:
+        # viewport-bounded pyramid: collect the base level once (the only
+        # expensive subtree) and roll every coarser level driver-side via
+        # the shared _pool_group rule — replaces one localCheckpoint +
+        # shuffle + UDF job per level with plain numpy over a few MB
+        tbl = None
+        try:
+            tbl = base_df.toArrow()
+        except Exception:
+            tbl = None
+        if tbl is not None:
+            data = {c: tbl.column(c).to_pylist() for c in cols}
+            cur = list(zip(data["tile_x"], data["tile_y"], data["payload"]))
+            for z in range(zoom - 1, min_zoom - 1, -1):
+                parents = overzoom_rows_local(cur, tile_px, fmt)
+                for ptx, pty, n_ch, n_px, crc, payload in parents:
+                    data["zoom"].append(z)
+                    data["tile_x"].append(ptx)
+                    data["tile_y"].append(pty)
+                    data["n_src"].append(n_ch)
+                    data["n_px"].append(n_px)
+                    data["px_crc"].append(crc)
+                    data["payload"].append(payload)
+                cur = [(p[0], p[1], p[5]) for p in parents]
+            out_t = pa.table(
+                {
+                    "zoom": pa.array(data["zoom"], pa.int64()),
+                    "tile_x": pa.array(data["tile_x"], pa.int64()),
+                    "tile_y": pa.array(data["tile_y"], pa.int64()),
+                    "n_src": pa.array(data["n_src"], pa.int64()),
+                    "n_px": pa.array(data["n_px"], pa.int64()),
+                    "px_crc": pa.array(data["px_crc"], pa.int64()),
+                    "payload": pa.array(data["payload"], pa.binary()),
+                }
+            )
+            return spark.createDataFrame(out_t)
+    base = base_df.localCheckpoint()
     levels = [base]
     cur = base
     for z in range(zoom - 1, min_zoom - 1, -1):
@@ -397,6 +530,7 @@ def render_tile_pyramid(
             overzoom_tiles(cur.select("tile_x", "tile_y", "payload"), tile_px, fmt)
             .withColumnRenamed("n_children", "n_src")
             .withColumn("zoom", F.lit(z).cast("long"))
+            .select(*cols)
             .localCheckpoint()
         )
         levels.append(cur)
@@ -486,6 +620,11 @@ def build_pyramid_table(
             for e in t.files()
             if e.get("zoom") in (z + 1, None)
         ]
+        ctx0, ctx1, cty0, cty1 = bbox_tile_range(bbox, z + 1, tile_px)
+        if (ctx1 - ctx0 + 1) * (cty1 - cty0 + 1) <= _SMALL_OVERZOOM_TILES and (
+            _overzoom_level_local(t, child_paths, z, tile_px, fmt, level_partitions)
+        ):
+            continue
         children = (
             spark.read.parquet(*child_paths)
             .filter(F.col("zoom") == z + 1)
