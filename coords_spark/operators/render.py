@@ -640,6 +640,69 @@ def build_pyramid_table(
     return t
 
 
+def _refresh_level_local(
+    t,
+    upper_entries: list[dict],
+    aff_entries: list[dict],
+    tiles: list,
+    child_set: list,
+    z: int,
+    tile_px: int,
+    fmt: str,
+    gname: str,
+) -> bool:
+    """Refresh ONE coarser pyramid level driver-side: read the refreshed
+    children of the dirty parents from the (small, zoom+range-pruned)
+    level-above files, pool with the shared _pool_group rule, carry the
+    affected files' non-dirty rows over, commit — zero Spark jobs.
+    Returns False on any surprise so the caller runs the Spark path."""
+    import os as _os
+    import tempfile
+
+    try:
+        import pyarrow.parquet as _pq
+
+        cols = ["zoom", "tile_x", "tile_y", "n_src", "n_px", "px_crc", "payload"]
+        want = set(map(tuple, child_set))
+        rows = []
+        for e in upper_entries:
+            ft = _pq.read_table(_os.path.join(t.path, e["path"]), columns=["tile_x", "tile_y", "payload"])
+            for tx, ty, payload in zip(
+                ft.column("tile_x").to_pylist(),
+                ft.column("tile_y").to_pylist(),
+                ft.column("payload").to_pylist(),
+            ):
+                if (tx, ty) in want:
+                    rows.append((tx, ty, payload))
+        parents = overzoom_rows_local(rows, tile_px, fmt)
+        parts = [_level_table_arrow(z, parents)]
+        dirty_set = set(map(tuple, tiles))
+        for e in aff_entries:
+            ft = _pq.read_table(_os.path.join(t.path, e["path"]))
+            keep_idx = [
+                i
+                for i, (tx, ty) in enumerate(
+                    zip(ft.column("tile_x").to_pylist(), ft.column("tile_y").to_pylist())
+                )
+                if (tx, ty) not in dirty_set
+            ]
+            if keep_idx:
+                parts.append(ft.take(keep_idx).select(cols).cast(parts[0].schema))
+        tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        stage = tempfile.mkdtemp(prefix=f"pyr_refresh_z{z}_")
+        _write_level_files_arrow(tbl, stage, 1)
+        t.commit_replace(
+            stage,
+            [e["path"] for e in aff_entries],
+            group=gname,
+            chunk_col="tile_x",
+            extra_stats={"zoom": z},
+        )
+        return True
+    except Exception:
+        return False
+
+
 def refresh_pyramid_table(
     spark,
     chunk_table_path: str,
@@ -926,7 +989,6 @@ def refresh_pyramid_table(
                 for dx in (0, 1)
                 for dy in (0, 1)
             ]
-            child_df = spark.createDataFrame(child_set, "tile_x long, tile_y long")
             ctxs = {tx for tx, _ty in child_set}
             upper = [
                 e
@@ -937,6 +999,19 @@ def refresh_pyramid_table(
                     or any(e["chunk_min"] <= tx <= e["chunk_max"] for tx in ctxs)
                 )
             ]
+            # dirty-bounded coarser level: children fetch + pool + carry-
+            # over + commit all run driver-side (zero Spark jobs)
+            if len(tiles) <= 64 and len(child_set) <= _SMALL_OVERZOOM_TILES:
+                aff_pre = _aff_files(z, tiles)
+                if _refresh_level_local(
+                    t, upper, aff_pre, tiles, child_set, z, tile_px, fmt, gname,
+                ):
+                    stats[z] = {
+                        "dirty": len(tiles),
+                        "files_rewritten": len(aff_pre),
+                    }
+                    continue
+            child_df = spark.createDataFrame(child_set, "tile_x long, tile_y long")
             children = (
                 spark.read.parquet(*[_os.path.join(t.path, e["path"]) for e in upper])
                 .join(F.broadcast(child_df), ["tile_x", "tile_y"])
