@@ -181,28 +181,20 @@ def upsert_entities(
     t = IcepickTable(table_path)
     if upserts is None:
         upserts = spark.createDataFrame([], t.spark_schema()).drop("chunk_id")
-    aff = upserts.select(F.col(id_col))
-    if deleted_ids is not None:
-        aff = aff.unionAll(
-            deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
-        )
     new_rows = with_id_chunk(upserts, id_col, id_shift)
-    # r8: ONE bounded collect replaces the r7 distinct+checkpoint job, the
-    # chunk-set collect AND the count inside the rewrite — the diff is
-    # driver-side-bounded by contract. No .distinct() before the collect:
-    # deduping driver-side skips the shuffle stage of a micro-batch-sized
-    # diff. Past the cap (a backfill-sized diff) the distributed planning
+    # r8: ONE bounded Arrow collect of the upserts replaces the r7
+    # distinct+checkpoint job, the chunk-set collect, the count inside the
+    # rewrite AND the separate staged-write evaluation — the diff is
+    # driver-side-bounded by contract, so the whole plan executes exactly
+    # once. Past the cap (a backfill-sized diff) the distributed planning
     # path below returns unchanged.
-    head = aff.limit(_DIFF_COLLECT_CAP + 1).collect()
-    if len(head) <= _DIFF_COLLECT_CAP:
-        ids = sorted({r[0] for r in head if r[0] is not None})
-        if any(r[0] is None for r in head):
-            ids.append(None)
-        chunks = {int(i) >> id_shift for i in ids if i is not None}
+    small = _collect_upserts_arrow(spark, upserts, deleted_ids, id_col, id_shift)
+    if small is not None:
+        aff_df, new_tbl, ids, chunks = small
         return _apply_way_rewrite(
             spark,
             table_path,
-            spark.createDataFrame([(i,) for i in ids], aff.schema),
+            aff_df,
             new_rows,
             group,
             key=id_col,
@@ -210,6 +202,12 @@ def upsert_entities(
             old_chunks=chunks,
             n_aff=len(ids),
             aff_keys=ids,
+            new_tbl=new_tbl,
+        )
+    aff = upserts.select(F.col(id_col))
+    if deleted_ids is not None:
+        aff = aff.unionAll(
+            deleted_ids.select(F.col(deleted_ids.columns[0]).alias(id_col))
         )
     aff = aff.distinct().localCheckpoint()
     return _apply_way_rewrite(
@@ -222,3 +220,45 @@ def upsert_entities(
         stat="affected_entities",
         old_chunks=chunk_set_for_ids(aff, id_shift, id_col),
     )
+
+
+def _collect_upserts_arrow(spark, upserts, deleted_ids, id_col, id_shift):
+    """(aff_df, new_tbl, ids, chunks) when the diff fits under the collect
+    cap, else None. new_tbl is the upserts WITH their chunk_id column —
+    the exact rows with_id_chunk produces — computed locally from the one
+    Arrow collect."""
+    import pyarrow as pa
+
+    try:
+        up_tbl = upserts.limit(_DIFF_COLLECT_CAP + 1).toArrow()
+    except Exception:
+        return None
+    if up_tbl.num_rows > _DIFF_COLLECT_CAP:
+        return None
+    del_vals: list = []
+    if deleted_ids is not None:
+        del_rows = deleted_ids.limit(_DIFF_COLLECT_CAP + 1).collect()
+        if len(del_rows) > _DIFF_COLLECT_CAP:
+            return None
+        del_vals = [r[0] for r in del_rows]
+    try:
+        idvals = up_tbl.column(id_col).to_pylist()
+        chunk_arr = pa.array(
+            [None if v is None else int(v) >> id_shift for v in idvals], pa.int64()
+        )
+        if "chunk_id" in up_tbl.column_names:
+            new_tbl = up_tbl.set_column(
+                up_tbl.column_names.index("chunk_id"), "chunk_id", chunk_arr
+            )
+        else:
+            new_tbl = up_tbl.append_column("chunk_id", chunk_arr)
+        ids = sorted({v for v in idvals if v is not None} | {v for v in del_vals if v is not None})
+        if any(v is None for v in idvals) or any(v is None for v in del_vals):
+            ids.append(None)
+        chunks = {int(i) >> id_shift for i in ids if i is not None}
+        aff_df = spark.createDataFrame(
+            [(i,) for i in ids], upserts.select(F.col(id_col)).schema
+        )
+        return aff_df, new_tbl, ids, chunks
+    except Exception:
+        return None

@@ -865,6 +865,24 @@ def refresh_pyramid_table(
         and 0 < total_dirty <= merge_threshold
         and not any(f"{group}-z{z}" in committed for z in levels)
     ):
+        # the merged path assumes an ancestor-CLOSED dirty set (coarser
+        # levels re-roll only listed parents); dirty_tiles output always
+        # satisfies this, but an arbitrary caller's set might not — a
+        # dirty parent whose level below is silently absent would overzoom
+        # from stale sink children (ADVICE r7). Refuse loudly instead.
+        for z in range(min_zoom, zoom):
+            below = by_z.get(z + 1, set())
+            for tx, ty in by_z.get(z, ()):
+                if not any(
+                    (2 * tx + dx, 2 * ty + dy) in below
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                ):
+                    raise ValueError(
+                        "merge_levels=True needs an ancestor-closed dirty set "
+                        f"(tile z{z}/{tx}/{ty} has no dirty child at z{z + 1}); "
+                        "pass dirty_tiles output or merge_levels=False"
+                    )
         # the whole multi-level refresh is TWO data jobs: (1) the base
         # dirty re-render (the only expensive subtree — checkpointed so
         # the lazy overzoom chain never recomputes it), (2) ONE checkpoint

@@ -269,6 +269,7 @@ def _apply_way_rewrite(
     old_chunks: set[int] | None = None,
     n_aff: int | None = None,
     aff_keys: list | None = None,
+    new_tbl=None,
 ) -> dict:
     """Shared rewrite machinery: drop every `aff` entity (matched on `key`)
     from the files whose chunk range holds one (row-exact left_anti
@@ -301,7 +302,6 @@ def _apply_way_rewrite(
     locator = old_chunks is None and has_locator(table_path)
     loc_files_read = 0
     new_map: dict = {}
-    new_tbl = None
     if locator:
         from coords_spark.operators import entity_store as ES
 
@@ -313,7 +313,7 @@ def _apply_way_rewrite(
         # collected ONCE as Arrow and reused by the staged write below.
         if aff_keys is None:
             aff_keys = [r[0] for r in aff.collect()]
-        if n_aff <= _SMALL_REWRITE_ROWS:
+        if new_tbl is None and n_aff <= _SMALL_REWRITE_ROWS:
             try:
                 new_tbl = new_rows.toArrow()
             except Exception:

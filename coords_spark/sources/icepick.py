@@ -360,7 +360,10 @@ class IcepickTable:
         staged: list[tuple[str, dict | None]] = []
         compacted: list[dict] = []
         total = 0
-        for sig, es in sorted(by_sig.items()):
+        # type-safe ordering: two files carrying the same extra-stat key
+        # with differently-typed values must not abort maintenance with a
+        # tuple-comparison TypeError (ADVICE r7)
+        for sig, es in sorted(by_sig.items(), key=lambda kv: repr(kv[0])):
             if len(es) < 2:
                 continue
             paths = [os.path.join(self.path, e["path"]) for e in es]

@@ -140,9 +140,16 @@ def apply_diff_batch(
         files_read[tag] = n
         return rows.join(F.broadcast(ids), "id", "semi")
 
-    way_old = _pruned_rows(ways_store, way_ch, "way_old").select(
-        "id", "refs"
-    ).localCheckpoint()
+    # way_old's only consumer is the reverse-index upsert: the legacy
+    # (no-rindex) path must not pay a per-batch pruned store read +
+    # checkpoint for it (ADVICE r7)
+    way_old = (
+        _pruned_rows(ways_store, way_ch, "way_old")
+        .select("id", "refs")
+        .localCheckpoint()
+        if rindex_store is not None
+        else None
+    )
 
     def _ways_hit_pre(changed_nodes: DataFrame) -> DataFrame:
         """(way_id) referencing a changed node in the PRE state: a pruned
@@ -332,25 +339,34 @@ def apply_diff_batch(
     if rindex_store is not None:
         from coords_spark.operators import rindex as RI
 
-        stats["rindex"] = RI.upsert_rindex(
-            spark,
-            rindex_store,
-            way_old,
-            way_up.select("id", "refs"),
-            way_del,
-            group=group,
-        )
+        # replay skip like every other per-table apply (ADVICE r7): a
+        # replayed batch's re-upsert is content-idempotent but burns a
+        # snapshot generation and rewrite work
+        if group in IcepickTable(rindex_store).committed_groups():
+            stats["rindex"] = "replayed"
+        else:
+            stats["rindex"] = RI.upsert_rindex(
+                spark,
+                rindex_store,
+                way_old,
+                way_up.select("id", "refs"),
+                way_del,
+                group=group,
+            )
     if rel_rindex_store is not None:
         from coords_spark.operators import rindex as RI
 
-        stats["rel_rindex"] = RI.upsert_rindex(
-            spark,
-            rel_rindex_store,
-            rel_old,
-            rel_up.select("id", _member_way_refs().alias("refs")),
-            rel_del,
-            group=group,
-        )
+        if group in IcepickTable(rel_rindex_store).committed_groups():
+            stats["rel_rindex"] = "replayed"
+        else:
+            stats["rel_rindex"] = RI.upsert_rindex(
+                spark,
+                rel_rindex_store,
+                rel_old,
+                rel_up.select("id", _member_way_refs().alias("refs")),
+                rel_del,
+                group=group,
+            )
 
     # -- 2/3. derived way-chunk table: blast radius re-resolve (pruned:
     # the store already holds the post-diff rows, so the "diff" for the
