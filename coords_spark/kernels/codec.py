@@ -39,7 +39,7 @@ def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
-def encode_pngz(img: np.ndarray) -> bytes:
+def encode_pngz(img: np.ndarray, level: int = 6) -> bytes:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, _ = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
@@ -47,7 +47,7 @@ def encode_pngz(img: np.ndarray) -> bytes:
     scan = np.empty((h, 1 + w * 3), dtype=np.uint8)
     scan[:, 0] = 0
     scan[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(scan.tobytes(), 6)
+    idat = zlib.compress(scan.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -91,11 +91,15 @@ def decode_q6(data: bytes, w: int, h: int) -> np.ndarray:
     return np.minimum(q.astype(np.uint16) * 4 + 1, 255).astype(np.uint8)
 
 
-def encode_image(img: np.ndarray, fmt: str) -> bytes:
+def encode_image(img: np.ndarray, fmt: str, level: int = 6) -> bytes:
+    """`level` is the pngz deflate level (ignored by raw/q6): the
+    payload SIZE/CPU trade is the caller's — render tiles favour encode
+    speed, archival image fixtures keep the default 6. Any level decodes
+    identically (zlib streams are self-describing)."""
     if fmt == "raw":
         return encode_raw(img)
     if fmt == "pngz":
-        return encode_pngz(img)
+        return encode_pngz(img, level)
     if fmt == "q6":
         return encode_q6(img)
     raise ValueError(f"unknown fmt {fmt!r}")

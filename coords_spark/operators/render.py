@@ -45,6 +45,13 @@ _SMALL_LEVEL_TILES = int(_env_os.environ.get("COORDS_SMALL_LEVEL_TILES", "16384"
 # still beats a Spark shuffle + UDF job — far smaller than the write cap
 _SMALL_OVERZOOM_TILES = int(_env_os.environ.get("COORDS_SMALL_OVERZOOM_TILES", "512"))
 
+# deflate level for TILE payloads (masks): level 1 encodes ~4x faster for
+# ~1.7x the bytes (measured on line-work masks) and any level decodes
+# identically — raster goldens pin px_crc of the RAW mask, never payload
+# bytes, and every product path shares this constant so splice==rebuild
+# byte-equality holds. Archival image fixtures keep codec's default 6.
+_TILE_PNGZ_LEVEL = int(_env_os.environ.get("COORDS_TILE_PNGZ_LEVEL", "1"))
+
 
 def _write_level_files_arrow(tbl, stage: str, n_files: int) -> None:
     """Write a collected tile level as `n_files` contiguous slices of the
@@ -283,7 +290,7 @@ def render_tile_images(
             n_px.append(int(np.count_nonzero(img)))
             crcs.append(zlib.crc32(img.tobytes()))
             payloads.append(
-                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt, _TILE_PNGZ_LEVEL)
             )
         return pa.StructArray.from_arrays(
             [
@@ -340,7 +347,7 @@ def overzoom_rows_local(rows, tile_px: int = 256, fmt: str = "pngz"):
                 int(np.count_nonzero(pooled)),
                 zlib.crc32(pooled.tobytes()),
                 codec.encode_image(
-                    np.repeat(pooled[:, :, None], 3, axis=2), fmt
+                    np.repeat(pooled[:, :, None], 3, axis=2), fmt, _TILE_PNGZ_LEVEL
                 ),
             )
         )
@@ -376,7 +383,7 @@ def overzoom_tiles(tiles: DataFrame, tile_px: int = 256, fmt: str = "pngz") -> D
             n_px.append(int(np.count_nonzero(pooled)))
             crcs.append(zlib.crc32(pooled.tobytes()))
             payloads.append(
-                codec.encode_image(np.repeat(pooled[:, :, None], 3, axis=2), fmt)
+                codec.encode_image(np.repeat(pooled[:, :, None], 3, axis=2), fmt, _TILE_PNGZ_LEVEL)
             )
         return pa.StructArray.from_arrays(
             [
@@ -1538,7 +1545,7 @@ def render_polygon_tiles(
             n_px_l.append(int(np.count_nonzero(img)))
             crcs.append(_z.crc32(img.tobytes()))
             payloads.append(
-                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt, _TILE_PNGZ_LEVEL)
             )
         return pa.StructArray.from_arrays(
             [
@@ -1705,7 +1712,7 @@ def render_map_tiles(
             n_px_l.append(int(np.count_nonzero(img)))
             crcs.append(_z.crc32(img.tobytes()))
             payloads.append(
-                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt)
+                codec.encode_image(np.repeat(img[:, :, None], 3, axis=2), fmt, _TILE_PNGZ_LEVEL)
             )
         return pa.StructArray.from_arrays(
             [
