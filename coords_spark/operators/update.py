@@ -240,6 +240,10 @@ def _stage_small_rewrite_arrow(
             keyvals = [k for k in aff_keys if k is not None]
             for p in replace_paths:
                 ft = _pq.read_table(p)
+                if set(ft.column_names) != set(new_tbl.column_names):
+                    # schema drift between file and new rows: the Spark
+                    # path keeps the file's own columns — don't narrow
+                    return False
                 mask = pc.is_in(
                     ft.column(key),
                     value_set=pa.array(keyvals, ft.schema.field(key).type),
